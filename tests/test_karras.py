@@ -1,0 +1,166 @@
+"""Golden-value tests: Karras sigma schedule, sigma->t mapping, ODE samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pcdiff.diffusion import karras
+from pcdiff.diffusion.gaussian import GaussianDiffusion
+from pcdiff.diffusion.schedules import get_named_beta_schedule
+
+from .reference_import import ref_module
+
+ref_kd = ref_module("diffusion.k_diffusion")
+
+B, N, C = 2, 8, 3
+
+
+def test_sigmas_karras_match():
+    ours = karras.get_sigmas_karras(64, 1e-3, 120.0, rho=7.0)
+    theirs = ref_kd.get_sigmas_karras(64, 1e-3, 120.0, rho=7.0).numpy()
+    assert ours.shape == theirs.shape == (65,)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-8)
+
+
+def test_sigma_to_t_matches_reference():
+    betas = get_named_beta_schedule("linear", 1000)
+    diff = GaussianDiffusion(
+        betas=betas, model_mean_type="epsilon", model_var_type="fixed_small",
+        loss_type="mse",
+    )
+    ref_diff = ref_module("diffusion.gaussian_diffusion").GaussianDiffusion(
+        betas=betas, model_mean_type="epsilon", model_var_type="fixed_small",
+        loss_type="mse",
+    )
+    wrapper = ref_kd.GaussianToKarrasDenoiser(model=None, diffusion=ref_diff)
+    sigmas = np.array(
+        [1e-4, 1e-3, 0.01, 0.1, 0.5, 1.0, 3.0, 10.0, 80.0, 120.0, 500.0],
+        dtype=np.float32,
+    )
+    got = np.asarray(karras.sigma_to_t(diff, jnp.asarray(sigmas)))
+    want = np.array([int(wrapper.sigma_to_t(float(s))) for s in sigmas])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_karras_scalings_match():
+    ours = karras.KarrasDenoiser(sigma_data=0.5)
+    theirs = ref_kd.KarrasDenoiser(sigma_data=0.5)
+    sig = np.array([1e-3, 0.5, 3.0, 120.0], dtype=np.float32)
+    for g, w in zip(
+        ours.get_scalings(jnp.asarray(sig)), theirs.get_scalings(torch.from_numpy(sig))
+    ):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=1e-5)
+
+
+def test_ancestral_step_matches():
+    got = karras.get_ancestral_step(jnp.float32(3.0), jnp.float32(1.0))
+    want = ref_kd.get_ancestral_step(torch.tensor(3.0), torch.tensor(1.0))
+    np.testing.assert_allclose(np.asarray(got[0]), want[0].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), want[1].numpy(), rtol=1e-6)
+
+
+def _linear_denoiser_jax(x, sigma, state):
+    # deterministic pseudo-denoiser: shrink towards a fixed point
+    return 0.9 * x / (1.0 + sigma.reshape((-1,) + (1,) * (x.ndim - 1))), state
+
+
+def _linear_denoiser_torch(x, sigma):
+    return 0.9 * x / (1.0 + sigma.reshape((-1,) + (1,) * (x.ndim - 1)))
+
+
+@pytest.mark.parametrize("sampler_name", ["heun", "dpm"])
+@pytest.mark.parametrize("steps", [1, 2, 8])
+def test_ode_samplers_match_reference_trajectories(sampler_name, steps):
+    """With s_churn=0 both solvers are deterministic given x_T: exact parity."""
+    sigmas = karras.get_sigmas_karras(steps, 1e-3, 10.0)
+    x_T = np.random.default_rng(1).standard_normal((B, N, C)).astype(np.float32) * 10.0
+
+    ours_fn = {"heun": karras.sample_heun, "dpm": karras.sample_dpm}[sampler_name]
+    out = ours_fn(
+        _linear_denoiser_jax, jnp.asarray(x_T), sigmas, jax.random.PRNGKey(0),
+        progressive=True,
+    )
+
+    ref_fn = {"heun": ref_kd.sample_heun, "dpm": ref_kd.sample_dpm}[sampler_name]
+    last = None
+    ref_pred = []
+    for y in ref_fn(
+        _linear_denoiser_torch, torch.from_numpy(x_T),
+        torch.from_numpy(sigmas.astype(np.float32)),
+    ):
+        last = y
+        key = "pred_xstart" if "pred_xstart" in y else "denoised"
+        ref_pred.append(y[key].numpy())
+
+    np.testing.assert_allclose(
+        np.asarray(out["x"]), last["x"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    # the reference's final consumed value is its last yield's pred_xstart
+    np.testing.assert_allclose(
+        np.asarray(out["pred_xstart"]), ref_pred[-1], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_euler_ancestral_terminal_property():
+    """Final x equals the last denoised (sigma_up=0 and full step at the end)."""
+    sigmas = karras.get_sigmas_karras(8, 1e-3, 10.0)
+    x_T = np.random.default_rng(2).standard_normal((B, N, C)).astype(np.float32) * 10.0
+    out = karras.sample_euler_ancestral(
+        _linear_denoiser_jax, jnp.asarray(x_T), sigmas, jax.random.PRNGKey(0),
+        progressive=True,
+    )
+    assert out["x"].shape == (B, N, C)
+    assert out["trajectory"]["x"].shape[0] == 8
+    # last update: x = denoised exactly (d*(0-sigma) collapses onto denoised)
+    last_x = np.asarray(out["trajectory"]["x"][-1])
+    expected = np.asarray(
+        _linear_denoiser_jax(
+            out["trajectory"]["x"][-2],
+            jnp.full((B,), float(sigmas[-2])),
+            None,
+        )[0]
+    )
+    np.testing.assert_allclose(np.asarray(out["x"]), last_x, rtol=1e-6)
+    np.testing.assert_allclose(last_x, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_guided_denoise_fused_equals_two_calls():
+    """One 2B-batched CFG forward == reference's two separate calls."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((C, C)).astype(np.float32)
+
+    def batched_model(x, sigma, state):
+        y = jnp.einsum("bnc,cd->bnd", x, jnp.asarray(w))
+        new_state = (state + 1.0) if state is not None else None
+        return y, new_state
+
+    x = rng.standard_normal((B, N, C)).astype(np.float32)
+    sigma = jnp.full((B,), 2.0)
+    scale = 3.0
+    guided = karras.guided_denoise_fn(batched_model, scale)
+    state0 = jnp.zeros((2 * B,))
+    got, state1 = guided(jnp.asarray(x), sigma, state0)
+
+    cond, _ = batched_model(jnp.asarray(x), sigma, None)
+    uncond, _ = batched_model(jnp.asarray(x), sigma, None)
+    want = uncond + scale * (cond - uncond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state1), 1.0)
+
+
+def test_heun_threads_state_through_both_calls():
+    """State must advance on predictor AND corrector calls, in order."""
+    calls = []
+
+    def counting_denoiser(x, sigma, state):
+        return x * 0.5, state + 1
+
+    sigmas = karras.get_sigmas_karras(4, 1e-3, 10.0)
+    x_T = jnp.ones((1, 4, 3))
+    out = karras.sample_heun(
+        counting_denoiser, x_T, sigmas, jax.random.PRNGKey(0), state=jnp.int32(0)
+    )
+    # 3 interior steps x 2 calls + 1 final Euler call = 7
+    assert int(out["state"]) == 7
