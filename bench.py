@@ -1,0 +1,91 @@
+"""Benchmark: sampling throughput of the flagship completion model.
+
+Matches the reference's headline benchmark setting (BASELINE.md): 1024-point
+clouds, 64-step Karras Heun sampling, classifier-free guidance (2x batched
+forwards), batch 32, one chip. Reference: ~0.116 point-clouds/sec on one
+CUDA GPU (evaluation_log1.txt timestamps).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLOUDS_PER_SEC = 32.0 / 276.0  # reference GPU sampling throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pcdiff.diffusion import diffusion_from_betas
+    from pcdiff.diffusion.sampler import PointCloudSampler
+    from pcdiff.models import TwoStreamDenoiser
+    from pcdiff.models.wrapper import BoundTwoStream
+
+    B = 32
+    NUM_POINTS = 1024
+    STEPS = 64
+
+    model = TwoStreamDenoiser(
+        num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
+        num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
+        num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
+        depth_patch=32,
+    )
+    rng = np.random.default_rng(0)
+    batch = dict(
+        class_labels=jnp.asarray(rng.integers(0, 10, (B,)), dtype=jnp.int32),
+        viewpoints=jnp.asarray(rng.standard_normal((B, 3)), dtype=jnp.float32),
+        partial_pcd=jnp.asarray(
+            rng.uniform(-0.5, 0.5, (B, NUM_POINTS, 3)), dtype=jnp.float32
+        ),
+        depth_maps=jnp.asarray(rng.random((B, 512, 512, 1)), dtype=jnp.float32),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, NUM_POINTS, 3)), jnp.zeros((B,), jnp.int32),
+        **batch,
+    )
+    bound = BoundTwoStream(model, params)
+
+    sampler = PointCloudSampler(
+        models=[bound],
+        diffusions=[diffusion_from_betas("linear", 1000)],
+        num_points=[NUM_POINTS], aux_channels=[], guidance_scale=[3.0],
+        clip_denoised=True, use_karras=[True], karras_steps=[STEPS],
+        sigma_min=[1e-3], sigma_max=[120.0], s_churn=[0.0],
+    )
+
+    run = jax.jit(
+        lambda key: sampler.sample_batch(B, batch, key)
+    )
+
+    # warmup / compile
+    out = run(jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    clouds_per_sec = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sampling_throughput_1024pt_64step_cfg",
+                "value": round(clouds_per_sec, 4),
+                "unit": "clouds/sec",
+                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Batch sampling to PLY/NPZ (the reference's ``run.py`` equivalent).
+
+Loads a checkpoint (orbax full-state or reference ``.pt``), samples the test
+set conditioned on partial scans, and saves targets/partials/samples
+(``/root/reference/run.py:29-172``).
+
+Usage: ``python -m pcdiff.cli.sample [--config cfg.yaml] [key.path=value ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_torch_checkpoint, restore_checkpoint
+from ..core.config import Config, load_config
+from ..data import BatchLoader, ModelNetCompletion
+from ..diffusion import diffusion_from_betas
+from ..diffusion.sampler import PointCloudSampler
+from ..geometry import PointCloud
+from ..models.wrapper import BoundTwoStream
+from ..train import create_train_state
+from .train import build_model
+
+logger = logging.getLogger("pcdiff.sample")
+
+
+def load_params(cfg: Config, model, key):
+    path = cfg.sample.load_checkpoint_path
+    if not path:
+        raise FileNotFoundError("sample.load_checkpoint_path is not set")
+    if path.endswith(".pt"):
+        return load_torch_checkpoint(path)
+    from .train import init_params
+
+    template = create_train_state(model, init_params(model, cfg, key), lr=1e-4,
+                                  total_steps=1)
+    state, _ = restore_checkpoint(path, template)
+    return {"params": state.params["params"] if "params" in state.params else state.params}
+
+
+def save_cloud_batch(points: np.ndarray, out_dir: str, prefix: str,
+                     fmt: str = "ply") -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for i, pts in enumerate(points):
+        pc = PointCloud(coords=np.asarray(pts))
+        path = os.path.join(out_dir, f"{prefix}_{i + 1}.{fmt}")
+        if fmt == "ply":
+            with open(path, "wb") as f:
+                pc.write_ply(f)
+        else:
+            pc.save(path)
+
+
+def main(cfg: Config) -> None:
+    logging.basicConfig(level=logging.INFO)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    model = build_model(cfg)
+    key, load_key = jax.random.split(key)
+    variables = load_params(cfg, model, load_key)
+    bound = BoundTwoStream(model, variables)
+
+    diffusion = diffusion_from_betas(
+        cfg.diffusion.schedule, cfg.diffusion.timesteps,
+        model_mean_type=cfg.diffusion.gaussiandiffusion.model_mean_type,
+        model_var_type=cfg.diffusion.gaussiandiffusion.model_var_type,
+        loss_type=cfg.diffusion.gaussiandiffusion.loss_type,
+    )
+    sampler = PointCloudSampler(
+        models=[bound], diffusions=[diffusion],
+        num_points=[cfg.model.num_points], aux_channels=[],
+        guidance_scale=[cfg.sample.guidance_scale], clip_denoised=True,
+        use_karras=[cfg.sample.use_karras],
+        karras_steps=[cfg.sample.karras_steps],
+        sigma_min=[cfg.sample.sigma_min], sigma_max=[cfg.sample.sigma_max],
+        s_churn=[cfg.sample.s_churn],
+    )
+
+    dataset = ModelNetCompletion(cfg.data.h5_path, split="test")
+    loader = BatchLoader(dataset, cfg.sample.num_samples, shuffle=False,
+                         seed=cfg.train.seed, prefetch=1)
+    out_dir = cfg.sample.output_dir
+    fmt = cfg.sample.save_format
+
+    for bi, batch in enumerate(loader):
+        kwargs = dict(
+            class_labels=jnp.asarray(batch["class_labels"]),
+            viewpoints=jnp.asarray(batch["viewpoints"]),
+            partial_pcd=jnp.asarray(batch["partial_pcd"]),
+            depth_maps=jnp.asarray(batch["depth_maps"]),
+        )
+        key, sub = jax.random.split(key)
+        samples = sampler.sample_batch(len(batch["target"]), kwargs, sub)
+        base = os.path.join(out_dir, f"batch_{bi:04d}")
+        save_cloud_batch(batch["target"], os.path.join(base, "targets"),
+                         "target", fmt)
+        save_cloud_batch(batch["partial_pcd"], os.path.join(base, "partials"),
+                         "partial", fmt)
+        save_cloud_batch(np.asarray(samples), os.path.join(base, "samples"),
+                         "sample", fmt)
+        logger.info("saved batch %d (%d samples) to %s", bi,
+                    len(batch["target"]), base)
+        break  # one fixed subset, matching run.py's single pass
+
+
+def cli():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+    main(load_config(args.config, args.overrides))
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,273 @@
+"""Checkpointing: orbax-backed native checkpoints + reference weight import.
+
+Improves on the reference, which saves weights only and silently restarts
+the LR schedule on resume (``/root/reference/train.py:123-146,273-280``):
+here the FULL train state (params, optimizer state, step) plus RNG key are
+saved and restored atomically.
+
+``import_two_stream_torch_state`` maps a reference ``TwoStreamDenoiser``
+torch ``state_dict`` (``/root/reference/models/model.py:422``) onto this
+framework's flax param tree, so published ``.pt`` checkpoints load directly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint_step",
+    "import_two_stream_torch_state",
+    "load_torch_checkpoint",
+]
+
+
+# --------------------------------------------------------------------- orbax
+
+def _manager(directory: str, max_to_keep: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state, max_to_keep: Optional[int] = None) -> None:
+    """Save a pytree (e.g. TrainState) checkpoint at ``step``."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_checkpoint(directory: str, state_template, step: Optional[int] = None):
+    """Restore a checkpoint into the structure of ``state_template``."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    out = mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+    mgr.close()
+    return out, step
+
+
+def latest_checkpoint_step(directory: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    try:
+        mgr = _manager(directory)
+    except Exception:
+        return None
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+# ------------------------------------------------------------- torch import
+
+def _t(x) -> np.ndarray:
+    arr = x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+    return arr.astype(np.float32)
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _mlp(sd, prefix):
+    # timm-style Mlp: fc1 -> act -> fc2
+    return {"fc1": _linear(sd, f"{prefix}.fc1"), "fc2": _linear(sd, f"{prefix}.fc2")}
+
+
+def _rin_attn(sd, prefix):
+    return {
+        "wq": _linear(sd, f"{prefix}.wq"),
+        "wk": _linear(sd, f"{prefix}.wk"),
+        "wv": _linear(sd, f"{prefix}.wv"),
+        "proj": _linear(sd, f"{prefix}.proj"),
+    }
+
+
+def _torch_mha(sd, prefix):
+    """torch.nn.MultiheadAttention -> separate wq/wk/wv/proj."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])  # [3D, D]
+    b = _t(sd[f"{prefix}.in_proj_bias"])
+    D = w.shape[1]
+    wq, wk, wv = w[:D], w[D : 2 * D], w[2 * D :]
+    bq, bk, bv = b[:D], b[D : 2 * D], b[2 * D :]
+    return {
+        "wq": {"kernel": wq.T, "bias": bq},
+        "wk": {"kernel": wk.T, "bias": bk},
+        "wv": {"kernel": wv.T, "bias": bv},
+        "proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _torch_encoder_layer(sd, prefix):
+    """torch TransformerEncoderLayer(norm_first) -> pcdiff EncoderLayer."""
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "self_attn": _torch_mha(sd, f"{prefix}.self_attn"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.linear1"),
+            "fc2": _linear(sd, f"{prefix}.linear2"),
+        },
+    }
+
+
+def _torch_decoder_layer(sd, prefix):
+    """torch TransformerDecoderLayer(norm_first) -> pcdiff DecoderLayer."""
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "norm3": _layernorm(sd, f"{prefix}.norm3"),
+        "self_attn": _torch_mha(sd, f"{prefix}.self_attn"),
+        "cross_attn": _torch_mha(sd, f"{prefix}.multihead_attn"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.linear1"),
+            "fc2": _linear(sd, f"{prefix}.linear2"),
+        },
+    }
+
+
+def _count_layers(sd, pattern):
+    rx = re.compile(pattern)
+    idxs = {int(m.group(1)) for k in sd for m in [rx.match(k)] if m}
+    return (max(idxs) + 1) if idxs else 0
+
+
+def _rin_block(sd, prefix, kind):
+    """Read/Write/Compute block param subtrees."""
+    if kind == "read":
+        norms = {"norm_x": "norm_x", "norm_z1": "norm_z1", "norm_z2": "norm_z2"}
+    elif kind == "write":
+        norms = {"norm_z": "norm_z", "norm_x1": "norm_x1", "norm_x2": "norm_x2"}
+    else:
+        norms = {"norm_z1": "norm_z1", "norm_z2": "norm_z2"}
+    out = {v: _layernorm(sd, f"{prefix}.{k}") for k, v in norms.items()}
+    out["attn"] = _rin_attn(sd, f"{prefix}.attn")
+    out["mlp"] = _mlp(sd, f"{prefix}.mlp")
+    return out
+
+
+def _query_decoder(sd, prefix, num_layers):
+    # stored [1, T-1, D]; our param keeps the leading axis
+    out = {"token_queries": _t(sd[f"{prefix}.token_queries"])}
+    for i in range(num_layers // 2):
+        out[f"decoder_{i}"] = _torch_decoder_layer(sd, f"{prefix}.decoder.layers.{i}")
+        out[f"refiner_{i}"] = _torch_encoder_layer(
+            sd, f"{prefix}.query_refiner.layers.{i}"
+        )
+    out["proj_out"] = _linear(sd, f"{prefix}.proj_out")
+    out["ln_out"] = _layernorm(sd, f"{prefix}.ln_out")
+    return out
+
+
+def import_two_stream_torch_state(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a reference TwoStreamDenoiser state_dict to flax params.
+
+    Returns ``{"params": tree}`` matching
+    :class:`pcdiff.models.TwoStreamDenoiser`'s variable structure.
+    """
+    sd = state_dict
+    p: Dict[str, Any] = {}
+
+    # ----- backbone
+    bb_prefix = "denoiser_backbone"
+    bb: Dict[str, Any] = {
+        "input_proj": _linear(sd, f"{bb_prefix}.input_proj"),
+        "ln_pre": _layernorm(sd, f"{bb_prefix}.ln_pre"),
+        "z_init": _t(sd[f"{bb_prefix}.z_init"]),
+        "time_embed": _mlp(sd, f"{bb_prefix}.time_embed"),
+        "latent_mlp": _mlp(sd, f"{bb_prefix}.latent_mlp"),
+        "ln_latent": _layernorm(sd, f"{bb_prefix}.ln_latent"),
+        "ln_post": _layernorm(sd, f"{bb_prefix}.ln_post"),
+        "output_proj": _linear(sd, f"{bb_prefix}.output_proj"),
+    }
+    n_blocks = _count_layers(sd, rf"{bb_prefix}\.blocks\.(\d+)\.")
+    for i in range(n_blocks):
+        bp = f"{bb_prefix}.blocks.{i}"
+        block = {
+            "read": _rin_block(sd, f"{bp}.read", "read"),
+            "write": _rin_block(sd, f"{bp}.write", "write"),
+        }
+        n_compute = _count_layers(sd, rf"{re.escape(bp)}\.compute\.(\d+)\.")
+        for j in range(n_compute):
+            block[f"compute_{j}"] = _rin_block(sd, f"{bp}.compute.{j}", "compute")
+        bb[f"block_{i}"] = block
+    p["backbone"] = bb
+
+    # ----- modality encoders
+    if "encoders.class.embedding.weight" in sd:
+        p["encoders_class"] = {
+            "embedding": {"embedding": _t(sd["encoders.class.embedding.weight"])},
+            "norm": _layernorm(sd, "encoders.class.norm"),
+        }
+    if "encoders.view.mlp.0.weight" in sd:
+        p["encoders_view"] = {
+            "fc1": _linear(sd, "encoders.view.mlp.0"),
+            "fc2": _linear(sd, "encoders.view.mlp.2"),
+            "fc3": _linear(sd, "encoders.view.mlp.4"),
+            "norm": _layernorm(sd, "encoders.view.mlp.5"),
+        }
+    if "encoders.partial_pcd.input_proj.weight" in sd:
+        pref = "encoders.partial_pcd"
+        n_layers = _count_layers(sd, rf"{re.escape(pref)}\.encoder\.layers\.(\d+)\.")
+        enc: Dict[str, Any] = {
+            "input_proj": _linear(sd, f"{pref}.input_proj"),
+            "cls_token": _t(sd[f"{pref}.cls_token"]),
+        }
+        for i in range(n_layers):
+            enc[f"encoder_{i}"] = _torch_encoder_layer(
+                sd, f"{pref}.encoder.layers.{i}"
+            )
+        enc["query_decoder"] = _query_decoder(sd, pref, n_layers)
+        p["encoders_partial_pcd"] = enc
+    if "encoders.depth.proj.weight" in sd:
+        pref = "encoders.depth"
+        n_layers = _count_layers(sd, rf"{re.escape(pref)}\.mixer\.layers\.(\d+)\.")
+        conv_w = _t(sd[f"{pref}.proj.weight"])  # OIHW
+        enc = {
+            "patch_proj": {
+                "kernel": conv_w.transpose(2, 3, 1, 0),  # OIHW -> HWIO
+                "bias": _t(sd[f"{pref}.proj.bias"]),
+            },
+            "cls_token": _t(sd[f"{pref}.cls_token"]),
+        }
+        for i in range(n_layers):
+            enc[f"mixer_{i}"] = _torch_encoder_layer(sd, f"{pref}.mixer.layers.{i}")
+        enc["query_decoder"] = _query_decoder(sd, pref, n_layers)
+        p["encoders_depth"] = enc
+
+    if "token_type_embeddings.weight" in sd:
+        p["token_type_embeddings"] = {
+            "embedding": _t(sd["token_type_embeddings.weight"])
+        }
+    return {"params": p}
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference ``.pt`` checkpoint and convert to flax params."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_two_stream_torch_state(sd)

@@ -1,0 +1,27 @@
+"""Dataset readers (ModelNet / MVP / ShapeNet-multimodal), batching, fixtures."""
+
+from .loader import BatchLoader
+from .modelnet import (
+    DEFAULT_SKIP_CLASSES,
+    TRAIN_SKIP_INSTANCES,
+    ModelNetCompletion,
+    build_viewpoint_table,
+)
+from .multimodal import SHAPENET_LABEL_DICT, MultiModalCompletion
+from .mvp import MVP_LABEL_DICT, MVPCompletion
+from .synthetic import SYNTHETIC_CLASSES, make_modelnet_fixture, synthetic_batch
+
+__all__ = [
+    "BatchLoader",
+    "ModelNetCompletion",
+    "build_viewpoint_table",
+    "DEFAULT_SKIP_CLASSES",
+    "TRAIN_SKIP_INSTANCES",
+    "MultiModalCompletion",
+    "SHAPENET_LABEL_DICT",
+    "MVPCompletion",
+    "MVP_LABEL_DICT",
+    "synthetic_batch",
+    "make_modelnet_fixture",
+    "SYNTHETIC_CLASSES",
+]

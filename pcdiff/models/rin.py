@@ -1,0 +1,241 @@
+"""RIN-style two-stream denoiser backbone (flax.linen).
+
+Re-design of the reference's Recurrent Interface Network blocks
+(``/root/reference/models/modules.py:65-244``): a cheap x-stream of N point
+tokens exchanged with a compute-heavy z-stream of latent tokens via
+read/write cross-attentions — interface attention is linear in N, quadratic
+cost lives only on the latents. This is the architecture's own scaling story
+(SURVEY.md section 5.7); sharding the x-stream over devices composes
+naturally later.
+
+Functionally-important initialization carried over: ``ln_latent`` is
+zero-initialized (scale AND bias) so latent self-conditioning is an exact
+no-op at init (reference ``modules.py:189-190``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from .attention import CrossAttention, LayerNorm, Mlp, default_kernel_init
+from .embeddings import timestep_embedding
+
+__all__ = ["ComputeBlock", "ReadBlock", "WriteBlock", "RCWBlock", "DenoiserBackbone"]
+
+
+class ComputeBlock(nn.Module):
+    """Latent self-attention + MLP (reference ``Compute_Block``)."""
+
+    z_dim: int
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        zn = LayerNorm(dtype=self.dtype, name="norm_z1")(z)
+        z = z + CrossAttention(
+            self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            name="attn",
+        )(zn, zn, deterministic=deterministic)
+        z = z + Mlp(
+            int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="mlp",
+        )(LayerNorm(dtype=self.dtype, name="norm_z2")(z), deterministic=deterministic)
+        return z
+
+
+class ReadBlock(nn.Module):
+    """z <- cross-attend(x): pull information from the point stream."""
+
+    z_dim: int
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, z: jnp.ndarray, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        z = z + CrossAttention(
+            self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            name="attn",
+        )(
+            LayerNorm(dtype=self.dtype, name="norm_z1")(z),
+            LayerNorm(dtype=self.dtype, name="norm_x")(x),
+            deterministic=deterministic,
+        )
+        z = z + Mlp(
+            int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="mlp",
+        )(LayerNorm(dtype=self.dtype, name="norm_z2")(z), deterministic=deterministic)
+        return z
+
+
+class WriteBlock(nn.Module):
+    """x <- cross-attend(z): push computed features back to the points."""
+
+    x_dim: int
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, z: jnp.ndarray, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        x = x + CrossAttention(
+            self.x_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            name="attn",
+        )(
+            LayerNorm(dtype=self.dtype, name="norm_x1")(x),
+            LayerNorm(dtype=self.dtype, name="norm_z")(z),
+            deterministic=deterministic,
+        )
+        x = x + Mlp(
+            int(self.x_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="mlp",
+        )(LayerNorm(dtype=self.dtype, name="norm_x2")(x), deterministic=deterministic)
+        return x
+
+
+class RCWBlock(nn.Module):
+    """read -> K x compute -> write (reference ``RCW_Block``)."""
+
+    z_dim: int
+    x_dim: int
+    num_compute_layers: int = 4
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, z: jnp.ndarray, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        common = dict(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
+            dtype=self.dtype,
+        )
+        z = ReadBlock(self.z_dim, name="read", **common)(z, x, deterministic)
+        for i in range(self.num_compute_layers):
+            z = ComputeBlock(self.z_dim, name=f"compute_{i}", **common)(
+                z, deterministic
+            )
+        x = WriteBlock(self.x_dim, name="write", **common)(z, x, deterministic)
+        return z, x
+
+
+class DenoiserBackbone(nn.Module):
+    """RIN denoiser over a point stream x and latent stream z.
+
+    Reference parity (``/root/reference/models/modules.py:145-244``):
+    z = [learned z_init | cond tokens | time token] + LN0(prev_latent +
+    MLP(stop_grad(prev_latent))); then ``num_blocks`` RCW rounds; the final z
+    is returned as the next step's self-conditioning latent.
+    """
+
+    input_channels: int = 3
+    output_channels: int = 3
+    num_z: int = 256
+    num_x: int = 4096
+    z_dim: int = 768
+    x_dim: int = 512
+    num_blocks: int = 6
+    num_compute_layers: int = 4
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        cond: jnp.ndarray,
+        prev_latent: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [B, num_x, C_in], t: [B], cond: [B, num_cond, z_dim],
+        prev_latent: [B, num_z + num_cond + 1, z_dim] or None.
+
+        Returns (x_denoised [B, num_x, C_out], z [B, num_z+num_cond+1, z_dim]).
+        """
+        B, num_x, _ = x.shape
+        assert num_x == self.num_x, (num_x, self.num_x)
+        num_cond = cond.shape[1]
+        num_latent = self.num_z + num_cond + 1
+        if prev_latent is None:
+            prev_latent = jnp.zeros((B, num_latent, self.z_dim), dtype=self.dtype)
+        assert prev_latent.shape[1] == num_latent
+
+        # timestep token [B, 1, z_dim]
+        t_embed = Mlp(
+            int(self.z_dim * self.mlp_ratio), out_dim=self.z_dim,
+            dtype=self.dtype, name="time_embed",
+        )(timestep_embedding(t, self.z_dim).astype(self.dtype))[:, None, :]
+
+        # project points into the x-stream
+        x = nn.Dense(
+            self.x_dim, dtype=self.dtype, kernel_init=default_kernel_init,
+            name="input_proj",
+        )(x.astype(self.dtype))
+        x = LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+
+        # latent stream + self-conditioning (ln_latent zero-init => no-op at init)
+        z_init = self.param(
+            "z_init", nn.initializers.normal(stddev=0.02), (1, self.num_z, self.z_dim)
+        ).astype(self.dtype)
+        z = jnp.concatenate(
+            [jnp.broadcast_to(z_init, (B, self.num_z, self.z_dim)), cond, t_embed],
+            axis=1,
+        )
+        prev_latent = prev_latent + Mlp(
+            int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="latent_mlp",
+        )(lax.stop_gradient(prev_latent), deterministic=deterministic)
+        z = z + LayerNorm(
+            dtype=self.dtype,
+            scale_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="ln_latent",
+        )(prev_latent)
+
+        for i in range(self.num_blocks):
+            z, x = RCWBlock(
+                self.z_dim, self.x_dim,
+                num_compute_layers=self.num_compute_layers,
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
+                dtype=self.dtype, name=f"block_{i}",
+            )(z, x, deterministic)
+
+        x = LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        x_denoised = nn.Dense(
+            self.output_channels, dtype=jnp.float32,
+            kernel_init=default_kernel_init, name="output_proj",
+        )(x)
+        return x_denoised, z

@@ -1,0 +1,25 @@
+"""Device mesh / sharding utilities (data parallelism; TP-ready mesh shape)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    fold_in_process,
+    local_batch_slice,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "local_batch_slice",
+    "fold_in_process",
+]

@@ -1,0 +1,11 @@
+"""Training: jitted step, state, loss curriculum, self-conditioning."""
+
+from .state import cosine_annealing_schedule, create_train_state
+from .step import make_loss_fn, make_train_step
+
+__all__ = [
+    "create_train_state",
+    "cosine_annealing_schedule",
+    "make_train_step",
+    "make_loss_fn",
+]

@@ -1,0 +1,125 @@
+"""The jitted training step: self-conditioning bootstrap + diffusion loss.
+
+Mirrors the reference hot loop (``/root/reference/train.py:164-239``) as one
+XLA program per step:
+
+- t ~ U[0, T), fresh Gaussian noise, x_t = q_sample(target, t, noise);
+- with probability ``self_conditioning_prob`` (one scalar draw per step,
+  matching ``train.py:181``), a stop-gradient bootstrap forward produces
+  ``prev_latent``; the bootstrap omits ``partial_pcd`` by default (the
+  reference quirk at ``train.py:184-191``, preserved behind a flag). The
+  untaken branch is skipped at runtime via ``lax.cond``;
+- epsilon-MSE loss, plus the chamfer-XYZ curriculum term once
+  ``epoch > start_chamfer`` (gate passed as a traced scalar so one compiled
+  program serves both phases);
+- under a sharded-batch jit the gradient all-reduce over the data axis is
+  inserted by XLA (the DDP/NCCL equivalent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training.train_state import TrainState
+
+from ..diffusion.gaussian import GaussianDiffusion
+
+__all__ = ["make_train_step", "make_loss_fn"]
+
+_BOOTSTRAP_EXCLUDES_PPCD_KEYS = ("class_labels", "viewpoints", "depth_maps")
+
+
+def make_loss_fn(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    self_conditioning_prob: float = 0.6,
+    bootstrap_include_partial_pcd: bool = False,
+):
+    """Build the per-step loss function over (params, batch, key, use_cd)."""
+
+    def loss_fn(params, batch: Dict[str, jnp.ndarray], key, use_cd_xyz):
+        target = batch["target"]  # [B, N, 3] channels-last
+        B = target.shape[0]
+        k_t, k_noise, k_sc, k_drop, k_cdrop, k_bdrop, k_bcdrop = jax.random.split(key, 7)
+
+        t = jax.random.randint(k_t, (B,), 0, diffusion.num_timesteps)
+        noise = jax.random.normal(k_noise, target.shape, dtype=target.dtype)
+        x_t = diffusion.q_sample(target, t, noise=noise)
+
+        cond_kwargs = dict(
+            class_labels=batch.get("class_labels"),
+            viewpoints=batch.get("viewpoints"),
+            partial_pcd=batch.get("partial_pcd"),
+            depth_maps=batch.get("depth_maps"),
+        )
+
+        # --- latent self-conditioning bootstrap (scalar per-step coin) ---
+        def bootstrap(_):
+            boot_kwargs = dict(cond_kwargs)
+            if not bootstrap_include_partial_pcd:
+                boot_kwargs["partial_pcd"] = None
+            _, latent = model.apply(
+                params, x_t, t, train=True,
+                rngs={"dropout": k_bdrop, "cond_drop": k_bcdrop},
+                **boot_kwargs,
+            )
+            return jax.lax.stop_gradient(latent)
+
+        def no_bootstrap(_):
+            return jnp.zeros(
+                (B, model.latent_tokens, model.latent_dim), dtype=jnp.float32
+            )
+
+        use_sc = jax.random.uniform(k_sc, ()) < self_conditioning_prob
+        prev_latent = jax.lax.cond(use_sc, bootstrap, no_bootstrap, None)
+
+        def model_fn(x, tt, **kw):
+            return model.apply(
+                params, x, tt, train=True,
+                rngs={"dropout": k_drop, "cond_drop": k_cdrop},
+                prev_latent=prev_latent, **cond_kwargs, **kw,
+            )
+
+        terms = diffusion.training_losses(
+            model_fn, target, t, noise=noise, use_cd_xyz_loss=use_cd_xyz
+        )
+        loss = terms["loss"].mean()
+        metrics = {k: v.mean() for k, v in terms.items()}
+        metrics["self_conditioned"] = use_sc.astype(jnp.float32)
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    self_conditioning_prob: float = 0.6,
+    bootstrap_include_partial_pcd: bool = False,
+    donate: bool = True,
+):
+    """A jitted (state, batch, key, use_cd) -> (state, metrics) step."""
+    loss_fn = make_loss_fn(
+        model, diffusion,
+        self_conditioning_prob=self_conditioning_prob,
+        bootstrap_include_partial_pcd=bootstrap_include_partial_pcd,
+    )
+
+    def step(state: TrainState, batch, key, use_cd_xyz) -> Tuple[TrainState, Dict[str, Any]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, batch, key, use_cd_xyz)
+        state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

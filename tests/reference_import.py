@@ -20,6 +20,38 @@ for _missing in ("open3d",):
         except ImportError:
             sys.modules[_missing] = types.ModuleType(_missing)
 
+# timm is imported by reference models.modules for Mlp/DropPath; provide
+# torch-native equivalents so pure-math functions in models.model import.
+try:
+    importlib.import_module("timm")
+except ImportError:
+    import torch.nn as _nn
+
+    class _Mlp(_nn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=_nn.GELU, drop=0.0, **kw):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = _nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = _nn.Linear(hidden_features, out_features)
+            self.drop = _nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+    _timm = types.ModuleType("timm")
+    _timm_models = types.ModuleType("timm.models")
+    _timm_vit = types.ModuleType("timm.models.vision_transformer")
+    _timm_vit.Mlp = _Mlp
+    _timm_vit.DropPath = _nn.Identity
+    _timm.models = _timm_models
+    _timm_models.vision_transformer = _timm_vit
+    sys.modules["timm"] = _timm
+    sys.modules["timm.models"] = _timm_models
+    sys.modules["timm.models.vision_transformer"] = _timm_vit
+
 sys.path.insert(0, "/root")
 _ref = importlib.import_module("reference")
 sys.modules.setdefault("point_e", _ref)

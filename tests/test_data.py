@@ -1,0 +1,148 @@
+"""Data pipeline tests: ModelNet fixture loader, viewpoint table parity,
+batch loader sharding/shuffling, config system."""
+
+import numpy as np
+import pytest
+
+from pcdiff.core.config import Config, apply_overrides, load_config
+from pcdiff.data import (
+    BatchLoader,
+    ModelNetCompletion,
+    build_viewpoint_table,
+    make_modelnet_fixture,
+)
+
+from .reference_import import ref_module
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5") / "modelnet_fixture.h5")
+    return make_modelnet_fixture(path)
+
+
+def test_viewpoint_table_matches_reference():
+    ref_ds = ref_module("dataset.modelnet_dataloader")
+    # instantiate only the table logic: read the tensor from the class source
+    # by constructing against the fixture is heavy; instead compare directly
+    # with the hardcoded reference constants.
+    import torch
+
+    ref_table = ref_ds.ModelnetDataset.__init__.__doc__  # not available; build manually
+    got = build_viewpoint_table()
+    # reconstruct the reference's table from its source semantics
+    import inspect
+    src = inspect.getsource(ref_ds.ModelnetDataset.__init__)
+    # evaluate the literal tuple list from the source block
+    start = src.index("torch.tensor([")
+    end = src.index("], dtype=torch.float32)")
+    literal = src[start + len("torch.tensor(") : end + 1]
+    rows = eval(literal)  # list of tuples from the reference source
+    want = np.asarray(rows, dtype=np.float32)[:, [0, 2, 1]]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
+
+
+def test_modelnet_fixture_loading(fixture_h5):
+    ds = ModelNetCompletion(fixture_h5, split="train", skip_classes=None)
+    # 5 classes x 2 instances x 3 scans
+    assert len(ds) == 30
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert item["partial_pcd"].shape == (64, 3)
+    assert item["depth_maps"].shape == (64, 64, 1)
+    assert item["viewpoints"].shape == (3,)
+    assert item["target"].shape == (64, 3)
+    assert np.abs(item["target"]).max() <= 0.5
+    assert np.abs(item["partial_pcd"]).max() <= 0.5
+    assert item["depth_maps"].max() <= 1.0
+    # class labels sorted by name
+    assert ds.class_to_label["airplane"] == 0
+
+
+def test_modelnet_skip_classes(fixture_h5):
+    ds = ModelNetCompletion(
+        fixture_h5, split="train", skip_classes=("airplane", "bench")
+    )
+    assert len(ds) == 18
+    assert "airplane" not in ds.class_to_label
+    labels = sorted(ds.class_to_label.values())
+    assert labels == [0, 1, 2]
+
+
+def test_target_random_permutation(fixture_h5):
+    ds = ModelNetCompletion(fixture_h5, split="train", skip_classes=None)
+    a = ds.__getitem__(0, rng=np.random.default_rng(1))["target"]
+    b = ds.__getitem__(0, rng=np.random.default_rng(2))["target"]
+    assert not np.array_equal(a, b)  # different permutation
+    np.testing.assert_allclose(
+        np.sort(a.ravel()), np.sort(b.ravel()), rtol=1e-6
+    )  # same multiset of points
+
+
+def test_batch_loader_sharding(fixture_h5):
+    ds = ModelNetCompletion(fixture_h5, split="train", skip_classes=None)
+    seen = []
+    for pi in range(2):
+        loader = BatchLoader(
+            ds, batch_size=5, seed=7, process_index=pi, process_count=2,
+            prefetch=0,
+        )
+        loader.set_epoch(3)
+        batches = list(loader)
+        assert len(batches) == 3  # 15 per host / 5
+        for b in batches:
+            assert b["target"].shape == (5, 64, 3)
+            seen.append(b["class_labels"])
+    # two hosts see a disjoint split of the shared permutation: with all 30
+    # samples covered, class counts must match the full dataset (6 per class)
+    all_labels = np.concatenate(seen)
+    assert len(all_labels) == 30
+    counts = np.bincount(all_labels)
+    assert (counts == 6).all()
+
+
+def test_batch_loader_epoch_reshuffle(fixture_h5):
+    ds = ModelNetCompletion(fixture_h5, split="train", skip_classes=None)
+    loader = BatchLoader(ds, batch_size=30, seed=7, prefetch=2)
+    loader.set_epoch(0)
+    b0 = next(iter(loader))
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert not np.array_equal(b0["class_labels"], b1["class_labels"])
+
+
+def test_config_defaults_match_reference_yaml():
+    cfg = Config()
+    assert cfg.train.batch_size == 32
+    assert cfg.train.self_conditioning_prob == 0.6
+    assert cfg.train.start_chamfer == 120
+    assert cfg.model.num_points == 1024
+    assert cfg.model.latent_dim == 256
+    assert cfg.model.num_tokens_ppcd == 256
+    assert cfg.diffusion.schedule == "linear"
+    assert cfg.diffusion.timesteps == 1000
+    assert cfg.sample.guidance_scale == 3.0
+    assert cfg.sample.karras_steps == 64
+    assert cfg.sample.sigma_max == 120.0
+
+
+def test_config_overrides():
+    cfg = apply_overrides(
+        Config(),
+        ["train.lr=1e-4", "model.num_blocks=2",
+         "model.active_modalities=[class,view]"],
+    )
+    assert cfg.train.lr == 1e-4
+    assert cfg.model.num_blocks == 2
+    assert cfg.model.active_modalities == ("class", "view")
+    with pytest.raises(KeyError):
+        apply_overrides(Config(), ["train.nonexistent=1"])
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    from pcdiff.core.config import save_config
+
+    cfg = apply_overrides(Config(), ["train.epochs=7"])
+    p = str(tmp_path / "cfg.yaml")
+    save_config(cfg, p)
+    back = load_config(p)
+    assert back == cfg

@@ -1,0 +1,139 @@
+"""Eval-stack tests: PointNet++ grouping parity, classifier weight-port
+parity, FID/IS math parity, npz streaming."""
+
+import io
+
+import numpy as np
+import pytest
+import torch
+
+from .reference_import import ref_module
+
+ref_pn2 = ref_module("evals.pointnet2_utils")
+ref_cls = ref_module("evals.pointnet2_cls_ssg")
+ref_fid = ref_module("evals.fid_is")
+
+import jax
+import jax.numpy as jnp
+
+from pcdiff.evals import (
+    CompletionMetrics,
+    FIDStatistics,
+    NpzStreamer,
+    PointNet2ClassifierSSG,
+    compute_inception_score,
+    compute_statistics,
+    import_pointnet2_torch_state,
+    query_ball_point,
+    sample_and_group,
+)
+
+B, N, S = 2, 64, 16
+
+
+@pytest.fixture
+def xyz(rng):
+    return rng.standard_normal((B, N, 3)).astype(np.float32)
+
+
+def test_query_ball_point_matches_reference(xyz, rng):
+    new_xyz = rng.standard_normal((B, S, 3)).astype(np.float32)
+    got = np.asarray(query_ball_point(0.8, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+    want = ref_pn2.query_ball_point(
+        0.8, 8, torch.from_numpy(xyz), torch.from_numpy(new_xyz)
+    ).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sample_and_group_matches_reference(xyz):
+    new_xyz, new_points = sample_and_group(
+        8, 0.8, 4, jnp.asarray(xyz), None, deterministic=True
+    )
+    ref_new_xyz, ref_new_points = ref_pn2.sample_and_group(
+        8, 0.8, 4, torch.from_numpy(xyz), None, deterministic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_xyz), ref_new_xyz.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_points), ref_new_points.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pointnet2_classifier_weight_port_parity(xyz):
+    torch.manual_seed(0)
+    ref_model = ref_cls.get_model(num_class=40, normal_channel=False, width_mult=1)
+    ref_model.eval()
+    # randomize BN running stats so the port is nontrivial
+    for m in ref_model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+    variables = import_pointnet2_torch_state(ref_model.state_dict())
+    ours = PointNet2ClassifierSSG(num_class=40, normal_channel=False, width_mult=1)
+
+    with torch.no_grad():
+        ref_logp, _, ref_feats = ref_model(
+            torch.from_numpy(xyz).permute(0, 2, 1), features=True
+        )
+    got_logp, _, got_feats = ours.apply(variables, jnp.asarray(xyz), features=True)
+    np.testing.assert_allclose(
+        np.asarray(got_feats), ref_feats.numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logp), ref_logp.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_fid_matches_reference(rng):
+    a = rng.standard_normal((200, 16))
+    b = rng.standard_normal((220, 16)) + 0.3
+    ours = compute_statistics(a).frechet_distance(compute_statistics(b))
+    theirs = ref_fid.compute_statistics(a).frechet_distance(
+        ref_fid.compute_statistics(b)
+    )
+    assert np.isclose(ours, theirs, rtol=1e-9)
+
+
+def test_inception_score_matches_reference(rng):
+    logits = rng.standard_normal((300, 40))
+    preds = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    ours = compute_inception_score(preds, split_size=100)
+    theirs = ref_fid.compute_inception_score(preds, split_size=100)
+    assert np.isclose(ours, theirs, rtol=1e-9)
+
+
+def test_npz_streamer_rebatches_across_shards(tmp_path, rng):
+    for i in range(3):
+        np.savez(
+            tmp_path / f"shard_{i}.npz",
+            arr_0=rng.standard_normal((5, 4, 3)).astype(np.float32),
+            labels=np.arange(5) + i * 5,
+        )
+    streamer = NpzStreamer(str(tmp_path / "shard_*.npz"))
+    assert set(streamer.keys()) == {"arr_0", "labels"}
+    batches = list(streamer.stream(4, ["arr_0", "labels"]))
+    sizes = [len(b["labels"]) for b in batches]
+    assert sizes == [4, 4, 4, 3]
+    all_labels = np.concatenate([b["labels"] for b in batches])
+    np.testing.assert_array_equal(np.sort(all_labels), np.arange(15))
+
+
+def test_npz_streamer_slice_syntax(tmp_path, rng):
+    np.savez(tmp_path / "x.npz", arr_0=rng.standard_normal((10, 3)))
+    streamer = NpzStreamer(str(tmp_path / "x.npz") + "[:7]")
+    total = sum(len(b["arr_0"]) for b in streamer.stream(3, ["arr_0"]))
+    assert total == 7
+
+
+def test_completion_metrics_aggregation(rng):
+    pred = rng.uniform(-0.5, 0.5, (4, 32, 3)).astype(np.float32)
+    gt = pred + 0.01
+    metrics = CompletionMetrics()
+    metrics.update(pred, gt, np.array([0, 0, 1, 1]))
+    out = metrics.summary(class_names={0: "airplane", 1: "bench"})
+    assert set(out["per_class"]) == {"airplane", "bench"}
+    assert out["overall"]["count"] == 4
+    assert out["overall"]["cd_full"] < 0.01
+    assert out["overall"]["f1_full"] > 0.9
