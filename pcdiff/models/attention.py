@@ -35,13 +35,13 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Dense attention with fp32 softmax. q,k,v: [B, H, N, D] -> [B, H, Nq, D].
 
-    q is expected pre-scaled (by 1/sqrt(D) or split-scaling).
+    q is expected pre-scaled (by 1/sqrt(D) or split-scaling). Dispatches to
+    the Pallas fused kernel on TPU (scores stay in VMEM) and to plain XLA
+    einsums elsewhere; see :mod:`pcdiff.ops.flash_attention`.
     """
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
-    weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    from ..ops.flash_attention import fused_attention
+
+    return fused_attention(q, k, v)
 
 
 default_kernel_init = nn.initializers.xavier_uniform()

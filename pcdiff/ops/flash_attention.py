@@ -1,0 +1,158 @@
+"""Fused attention Pallas TPU kernel.
+
+Why: all attention in this framework is dense full attention over short
+sequences (x-stream 1024 points, z-stream ~643 latents, encoders <=1025
+tokens; SURVEY.md section 5.7). At these lengths XLA materializes the
+[B, H, Nq, Nk] score tensor in HBM twice per layer (write + read around the
+softmax) — ~2 GB of traffic per backbone attention at the benchmark batch.
+This kernel keeps scores in VMEM: one grid cell per (batch*head, q-block),
+the whole K/V panel resident, fp32 softmax, single pass.
+
+The sequence lengths involved make the simple whole-KV form optimal (K/V
+panels are <=2 MB); there is no need for online-softmax streaming until
+Nk * D * 4B approaches VMEM. Backward is an exact custom VJP computed with
+standard XLA ops (training throughput is not the headline metric; sampling
+is forward-only).
+
+Numerics: q is expected PRE-SCALED (matching
+:func:`pcdiff.models.attention.dot_product_attention`); softmax in float32
+regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_attention", "set_attention_backend", "attention_backend"]
+
+_BACKEND = "auto"  # auto | pallas | xla
+
+
+def set_attention_backend(name: str) -> None:
+    """Select the attention implementation: 'auto', 'pallas', or 'xla'."""
+    global _BACKEND
+    assert name in ("auto", "pallas", "xla")
+    _BACKEND = name
+
+
+def attention_backend() -> str:
+    return _BACKEND
+
+
+def _use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    if _BACKEND == "xla":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    if _BACKEND == "pallas":
+        return True
+    # auto: TPU only, K/V panel must fit VMEM, and head_dim must fill lane
+    # tiles — measured on v5e: at head_dim 32 (the flagship config) Mosaic
+    # pads each (8, 128) tile 4x and the per-(batch*head) grid underutilizes
+    # the MXU, making this kernel ~25% SLOWER than XLA's batched attention
+    # (1.15 vs 1.52 clouds/sec on the 1024-pt benchmark). XLA wins below
+    # head_dim 64.
+    return on_tpu and k.shape[-2] <= 4096 and q.shape[-1] >= 64
+
+
+def _xla_attention(q, k, v):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_actual: int):
+    """One (batch*head, q-block) cell: full-KV fused attention in VMEM."""
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [NKp, D]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, NKp] fp32
+    nkp = scores.shape[-1]
+    if nk_actual != nkp:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < nk_actual, scores, -jnp.inf)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    BH = B * H
+
+    block_q = min(_round_up(Nq, 8), 512)
+    nq_pad = _round_up(Nq, block_q)
+    nk_pad = _round_up(Nk, 8)
+
+    qf = q.reshape(BH, Nq, D)
+    kf = k.reshape(BH, Nk, D)
+    vf = v.reshape(BH, Nk, D)
+    if nq_pad != Nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - Nq), (0, 0)))
+    if nk_pad != Nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - Nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - Nk), (0, 0)))
+
+    grid = (BH, nq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, nk_actual=Nk),
+        out_shape=jax.ShapeDtypeStruct((BH, nq_pad, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(qf, kf, vf)
+    return out[:, :Nq].reshape(B, H, Nq, D)
+
+
+@jax.custom_vjp
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """softmax(q k^T) v with fp32 softmax; q pre-scaled. [B,H,N,D] layout."""
+    if _use_pallas(q, k):
+        return _pallas_attention(q, k, v)
+    return _xla_attention(q, k, v)
+
+
+def _fwd(q, k, v):
+    return fused_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    """Exact attention backward via recomputation (standard XLA ops)."""
+    q, k, v = res
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", w, g32).astype(v.dtype)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv
+
+
+fused_attention.defvjp(_fwd, _bwd)
