@@ -147,20 +147,42 @@ def main(cfg: Config) -> None:
         bootstrap_include_partial_pcd=cfg.train.bootstrap_include_partial_pcd,
     )
 
+    from ..core.logging import MetricsLogger, profile_trace
+    from ..train import ema_update, init_ema
+
+    mlog = MetricsLogger(
+        run_dir, project=cfg.wandb.project, run_name=os.path.basename(run_dir),
+        config=None, use_wandb=cfg.wandb.enabled,
+        is_lead_host=jax.process_index() == 0,
+    )
+    ema_params = init_ema(state.params) if cfg.train.ema_decay > 0 else None
+    ema_fn = (
+        jax.jit(lambda e, p: ema_update(e, p, cfg.train.ema_decay))
+        if ema_params is not None else None
+    )
+
     global_step = 0
     for epoch in range(cfg.train.epochs):
         loader.set_epoch(epoch)
         use_cd = jnp.asarray(epoch + 1 > cfg.train.start_chamfer)
         epoch_loss, n_batches = 0.0, 0
         t0 = time.time()
-        for batch in loader:
-            batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
-            key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, batch, sub, use_cd)
-            loss = float(metrics["loss"])
-            epoch_loss += loss
-            n_batches += 1
-            global_step += 1
+        profiling = bool(cfg.train.profile_dir) and epoch == 1
+        with profile_trace(cfg.train.profile_dir or None, enabled=profiling):
+            for batch in loader:
+                batch = shard_batch(
+                    mesh, {k: jnp.asarray(v) for k, v in batch.items()}
+                )
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, batch, sub, use_cd)
+                if ema_fn is not None:
+                    ema_params = ema_fn(ema_params, state.params)
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                n_batches += 1
+                global_step += 1
+                mlog.log({"loss": loss, "mse": float(metrics["mse"])},
+                         step=global_step)
         if jax.process_index() == 0 and n_batches:
             logger.info(
                 "epoch %d: avg loss %.4f (%d steps, %.1fs)",
@@ -168,9 +190,15 @@ def main(cfg: Config) -> None:
             )
             if (epoch + 1) % cfg.train.save_every == 0 and cfg.train.save_full_state:
                 ckpt_dir = os.path.join(run_dir, "checkpoints")
-                save_checkpoint(ckpt_dir, global_step,
-                                jax.device_get(state))
+                payload = jax.device_get(state)
+                save_checkpoint(ckpt_dir, global_step, payload)
+                if ema_params is not None:
+                    save_checkpoint(
+                        os.path.join(run_dir, "ema"), global_step,
+                        jax.device_get(ema_params),
+                    )
                 logger.info("saved checkpoint at step %d", global_step)
+    mlog.finish()
 
 
 def cli():

@@ -60,6 +60,10 @@ class TrainConfig:
     bootstrap_include_partial_pcd: bool = False
     # improvement over reference (weights-only ckpts): save full train state
     save_full_state: bool = True
+    # parameter EMA decay; 0 disables (the reference keeps no EMA)
+    ema_decay: float = 0.0
+    # jax.profiler trace dir ('' disables)
+    profile_dir: str = ""
 
 
 @dataclass(frozen=True)

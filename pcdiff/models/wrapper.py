@@ -84,7 +84,8 @@ class BoundTwoStream:
         return out
 
     def init_latent(self, batch_size: int) -> jnp.ndarray:
+        # dtype must match the backbone's returned latent for scan carries
         return jnp.zeros(
             (batch_size, self.module.latent_tokens, self.module.latent_dim),
-            dtype=jnp.float32,
+            dtype=self.module.dtype,
         )

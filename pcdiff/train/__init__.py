@@ -1,5 +1,6 @@
 """Training: jitted step, state, loss curriculum, self-conditioning."""
 
+from .ema import ema_update, init_ema
 from .state import cosine_annealing_schedule, create_train_state
 from .step import make_loss_fn, make_train_step
 
@@ -8,4 +9,6 @@ __all__ = [
     "cosine_annealing_schedule",
     "make_train_step",
     "make_loss_fn",
+    "ema_update",
+    "init_ema",
 ]

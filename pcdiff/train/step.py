@@ -70,8 +70,9 @@ def make_loss_fn(
             return jax.lax.stop_gradient(latent)
 
         def no_bootstrap(_):
+            # dtype must match the bootstrap branch's latent for lax.cond
             return jnp.zeros(
-                (B, model.latent_tokens, model.latent_dim), dtype=jnp.float32
+                (B, model.latent_tokens, model.latent_dim), dtype=model.dtype
             )
 
         use_sc = jax.random.uniform(k_sc, ()) < self_conditioning_prob

@@ -28,8 +28,11 @@ __all__ = ["marching_cubes_mesh"]
 
 def marching_cubes_mesh(
     pc: PointCloud,
-    model,
-    variables,
+    model=None,
+    variables=None,
+    *,
+    encode_fn=None,
+    predict_fn=None,
     batch_size: int = 4096,
     grid_size: int = 128,
     side_length: float = 1.02,
@@ -37,23 +40,27 @@ def marching_cubes_mesh(
 ) -> TriMesh:
     """Extract the SDF zero surface of a point cloud as a triangle mesh.
 
-    ``model`` is a :class:`pcdiff.models.sdf.CrossAttentionPointCloudSDFModel`;
-    ``variables`` its flax variables.
+    Either pass a flax SDF ``model`` + ``variables``
+    (:class:`pcdiff.models.sdf.CrossAttentionPointCloudSDFModel`), or raw
+    callables: ``encode_fn(clouds [1,N,3]) -> encoded`` and
+    ``predict_fn(queries [1,M,3], encoded) -> sdf [1,M]``.
     """
     voxel_size = side_length / (grid_size - 1)
     min_coord = -side_length / 2
 
-    coords = jnp.asarray(pc.coords, dtype=jnp.float32)[None]  # [1, N, 3]
-    encoded = model.apply(
-        variables, coords, method=type(model).encode_point_clouds
-    )
-
-    predict = jax.jit(
-        lambda queries: model.apply(
+    if encode_fn is None:
+        assert model is not None and variables is not None
+        encode_fn = lambda clouds: model.apply(
+            variables, clouds, method=type(model).encode_point_clouds
+        )
+        predict_fn = lambda queries, encoded: model.apply(
             variables, queries, encoded=encoded,
             method=type(model).predict_sdf,
         )
-    )
+
+    coords = jnp.asarray(pc.coords, dtype=jnp.float32)[None]  # [1, N, 3]
+    encoded = encode_fn(coords)
+    predict = jax.jit(lambda queries: predict_fn(queries, encoded))
 
     total = grid_size**3
     vols = []
