@@ -72,7 +72,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk_actual: int):
-    """One (batch*head, q-block) cell: full-KV fused attention in VMEM."""
+    """One (batch*head, q-block) cell: full-KV fused attention in VMEM.
+
+    A batched-over-heads variant (grid over batch, [H, BQ, D] blocks) was
+    tried and exceeds Mosaic's scoped-VMEM stack estimates at head_dim 32
+    because the batched dot pads both operand panels to full lane tiles.
+    """
     q = q_ref[0]  # [BQ, D]
     k = k_ref[0]  # [NKp, D]
     v = v_ref[0]
