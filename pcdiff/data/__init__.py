@@ -9,7 +9,13 @@ from .modelnet import (
 )
 from .multimodal import SHAPENET_LABEL_DICT, MultiModalCompletion
 from .mvp import MVP_LABEL_DICT, MVPCompletion
-from .synthetic import SYNTHETIC_CLASSES, make_modelnet_fixture, synthetic_batch
+from .synthetic import (
+    SYNTHETIC_CLASSES,
+    make_modelnet_fixture,
+    make_multimodal_fixture,
+    make_mvp_fixture,
+    synthetic_batch,
+)
 
 __all__ = [
     "BatchLoader",
@@ -23,5 +29,7 @@ __all__ = [
     "MVP_LABEL_DICT",
     "synthetic_batch",
     "make_modelnet_fixture",
+    "make_mvp_fixture",
+    "make_multimodal_fixture",
     "SYNTHETIC_CLASSES",
 ]

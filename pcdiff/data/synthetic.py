@@ -13,7 +13,13 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["synthetic_batch", "make_modelnet_fixture", "SYNTHETIC_CLASSES"]
+__all__ = [
+    "synthetic_batch",
+    "make_modelnet_fixture",
+    "make_mvp_fixture",
+    "make_multimodal_fixture",
+    "SYNTHETIC_CLASSES",
+]
 
 SYNTHETIC_CLASSES = ("airplane", "bench", "bottle", "car", "monitor")
 
@@ -79,4 +85,75 @@ def make_modelnet_fixture(
                             np.float32
                         ),
                     )
+    return path
+
+
+def make_mvp_fixture(
+    path: str,
+    num_instances: int = 2,
+    scans_per_instance: int = 26,
+    num_points: int = 2048,
+    seed: int = 0,
+) -> str:
+    """Tiny H5 with the MVP benchmark layout
+    (incomplete_pcds / complete_pcds / labels; 26 scans per instance)."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    n_scans = num_instances * scans_per_instance
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "incomplete_pcds",
+            data=rng.uniform(-0.5, 0.5, (n_scans, num_points, 3)).astype(np.float32),
+        )
+        f.create_dataset(
+            "complete_pcds",
+            data=rng.uniform(-0.5, 0.5, (num_instances, num_points, 3)).astype(
+                np.float32
+            ),
+        )
+        f.create_dataset(
+            "labels", data=rng.integers(1, 17, (n_scans,)).astype(np.int64)
+        )
+    return path
+
+
+def make_multimodal_fixture(
+    path: str,
+    num_objects: int = 2,
+    num_scans: int = 8,
+    num_points: int = 64,
+    depth_size: int = 32,
+    seed: int = 0,
+) -> str:
+    """Tiny H5 with the ShapeNet-multimodal layout
+    (obj_type/obj_id/{points, depth_maps, viewpoints, target_points})."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("car")
+        for i in range(num_objects):
+            obj = g.create_group(f"car_{i}")
+            obj.attrs["label"] = "car"
+            obj.create_dataset(
+                "points",
+                data=rng.uniform(-0.5, 0.5, (num_scans, num_points, 3)).astype(
+                    np.float32
+                ),
+            )
+            obj.create_dataset(
+                "depth_maps",
+                data=(rng.random((num_scans, depth_size, depth_size)) * 255).astype(
+                    np.float32
+                ),
+            )
+            obj.create_dataset(
+                "viewpoints",
+                data=rng.uniform(-2.8, 2.8, (num_scans, 3)).astype(np.float32),
+            )
+            obj.create_dataset(
+                "target_points",
+                data=rng.uniform(-0.5, 0.5, (num_points, 3)).astype(np.float32),
+            )
     return path

@@ -14,7 +14,11 @@ import jax
 import optax
 from flax.training import train_state
 
-__all__ = ["create_train_state", "cosine_annealing_schedule"]
+__all__ = [
+    "create_train_state",
+    "cosine_annealing_schedule",
+    "warmup_cosine_schedule",
+]
 
 
 def cosine_annealing_schedule(
@@ -24,6 +28,25 @@ def cosine_annealing_schedule(
     (1 + cos(pi * t / T))."""
     return optax.cosine_decay_schedule(
         init_value=peak_lr, decay_steps=total_steps, alpha=eta_min / peak_lr
+    )
+
+
+def warmup_cosine_schedule(
+    peak_lr: float,
+    total_steps: int,
+    warmup_ratio: float = 0.05,
+    lr_floor: float = 0.01,
+) -> optax.Schedule:
+    """Linear warm-up then cosine decay bottoming at ``lr_floor * peak_lr``
+    (the reference's commented-out alternative scheduler,
+    ``/root/reference/models/util.py:112-160``)."""
+    warmup_steps = max(1, int(total_steps * warmup_ratio))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=lr_floor * peak_lr,
     )
 
 

@@ -164,3 +164,33 @@ def test_heun_threads_state_through_both_calls():
     )
     # 3 interior steps x 2 calls + 1 final Euler call = 7
     assert int(out["state"]) == 7
+
+
+def test_karras_training_losses_match():
+    """EDM-space training losses (reference k_diffusion.py:47-69)."""
+    rng2 = np.random.default_rng(9)
+    x = rng2.standard_normal((B, N, C)).astype(np.float32)
+    noise = rng2.standard_normal((B, N, C)).astype(np.float32)
+    sig = np.abs(rng2.standard_normal(B)).astype(np.float32) + 0.1
+
+    ours = karras.KarrasDenoiser(sigma_data=0.5)
+    theirs = ref_kd.KarrasDenoiser(sigma_data=0.5)
+
+    def jax_model(xx, tt, **kw):
+        return 0.3 * xx
+
+    def torch_model(xx, tt, **kw):
+        return 0.3 * xx
+
+    got = ours.training_losses(
+        jax_model, jnp.asarray(x), jnp.asarray(sig), noise=jnp.asarray(noise)
+    )
+    want = theirs.training_losses(
+        torch_model, torch.from_numpy(np.swapaxes(x, 1, 2)),
+        torch.from_numpy(sig), noise=torch.from_numpy(np.swapaxes(noise, 1, 2)),
+    )
+    for key in ("mse", "xs_mse", "loss"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), rtol=2e-4, atol=1e-5,
+            err_msg=key,
+        )

@@ -105,3 +105,12 @@ def test_self_conditioning_bootstrap_executes():
     state = create_train_state(model, params, lr=1e-3, total_steps=50)
     _, metrics0 = step0(state, batch, jax.random.PRNGKey(0), jnp.asarray(False))
     assert float(metrics0["self_conditioned"]) == 0.0
+
+
+def test_warmup_cosine_schedule_shape():
+    from pcdiff.train.state import warmup_cosine_schedule
+
+    sched = warmup_cosine_schedule(3e-4, total_steps=100, warmup_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(10)), 3e-4, rtol=1e-5)  # peak after warmup
+    assert np.isclose(float(sched(100)), 3e-6, rtol=1e-2)  # floor = 1% peak
