@@ -267,8 +267,12 @@ class ImageCLIP:
     """
 
     def __init__(self, variables, clip_name: str = "ViT-L/14",
-                 tokenizer=None):
+                 tokenizer=None, bpe_path: Optional[str] = None):
         assert clip_name in CLIP_CONFIGS
+        if tokenizer is None and bpe_path is not None:
+            from ..tokenizer import SimpleTokenizer
+
+            tokenizer = SimpleTokenizer(bpe_path)
         self.config = CLIP_CONFIGS[clip_name]
         self.clip_name = clip_name
         self.model = CLIPModel(self.config)

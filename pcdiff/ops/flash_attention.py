@@ -52,13 +52,15 @@ def _use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     if _BACKEND == "pallas":
         return True
-    # auto: TPU only, K/V panel must fit VMEM, and head_dim must fill lane
-    # tiles — measured on v5e: at head_dim 32 (the flagship config) Mosaic
-    # pads each (8, 128) tile 4x and the per-(batch*head) grid underutilizes
-    # the MXU, making this kernel ~25% SLOWER than XLA's batched attention
-    # (1.15 vs 1.52 clouds/sec on the 1024-pt benchmark). XLA wins below
-    # head_dim 64.
-    return on_tpu and k.shape[-2] <= 4096 and q.shape[-1] >= 64
+    # auto: XLA by default. In ISOLATION this kernel beats XLA at every
+    # flagship shape with 1024-row q-blocks (2.82 vs 3.62 ms at 643x643,
+    # 3.07 vs 4.55 at 643x1024, 3.59 vs 4.78 at 1024x643), but END-TO-END
+    # the full sampler is slower (1.36 vs 1.52 clouds/sec): the custom call
+    # breaks XLA's fusion of the surrounding projections/residuals and the
+    # K/V pad-copies add traffic. Opt in via set_attention_backend("pallas")
+    # for isolated-attention workloads; see docs/performance.md.
+    del on_tpu
+    return False
 
 
 def _xla_attention(q, k, v):
@@ -102,9 +104,13 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     Nk = k.shape[2]
     BH = B * H
 
-    block_q = min(_round_up(Nq, 8), 512)
-    nq_pad = _round_up(Nq, block_q)
     nk_pad = _round_up(Nk, 8)
+    # Big q-blocks win: fewer grid cells amortize per-cell overhead (measured
+    # on v5e at the flagship shapes: cap 1024 beats XLA by 22-33%, cap 512
+    # loses on the self-attention case). Bound the fp32 score panel to ~4 MB.
+    score_budget = (4 * 1024 * 1024) // (nk_pad * 4)
+    block_q = min(_round_up(Nq, 8), 1024, max(8, (score_budget // 8) * 8))
+    nq_pad = _round_up(Nq, block_q)
 
     qf = q.reshape(BH, Nq, D)
     kf = k.reshape(BH, Nk, D)

@@ -210,3 +210,70 @@ def test_channel_scale_roundtrip(data):
     )
     back = ours.unscale_channels(xs)
     np.testing.assert_allclose(np.asarray(back), x, rtol=1e-5, atol=1e-6)
+
+
+def test_p_sample_loop_and_ddim_loop_shapes():
+    import jax
+
+    ours, _ = make_pair()
+
+    def model(x, tt, **kw):
+        return 0.1 * x
+
+    out = ours.p_sample_loop(model, (2, 8, 3), jax.random.PRNGKey(0))
+    assert out.shape == (2, 8, 3)
+    prog = ours.ddim_sample_loop(
+        model, (2, 8, 3), jax.random.PRNGKey(0), progressive=True
+    )
+    assert prog["sample"].shape == (T, 2, 8, 3)
+    assert prog["pred_xstart"].shape == (T, 2, 8, 3)
+    assert np.isfinite(np.asarray(prog["sample"])).all()
+
+
+def test_calc_bpd_loop_structure():
+    import jax
+
+    # linear is undefined at T=10 (beta_end = 2.0); cosine works at any T
+    betas = get_named_beta_schedule("cosine", 10)
+    ours = GaussianDiffusion(
+        betas=betas, model_mean_type="epsilon", model_var_type="fixed_small",
+        loss_type="mse",
+    )
+
+    def model(x, tt, **kw):
+        return 0.1 * x
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 3)),
+                    dtype=jnp.float32)
+    out = ours.calc_bpd_loop(model, x, jax.random.PRNGKey(0))
+    assert out["vb"].shape == (2, 10)
+    assert out["mse"].shape == (2, 10)
+    np.testing.assert_allclose(
+        np.asarray(out["total_bpd"]),
+        np.asarray(out["vb"].sum(axis=1) + out["prior_bpd"]),
+        rtol=1e-5,
+    )
+
+
+def test_spaced_diffusion_sampling_end_to_end():
+    """Respaced DDIM sampling remaps timesteps through timestep_map."""
+    import jax
+
+    from pcdiff.diffusion.schedules import space_timesteps
+    from pcdiff.diffusion.gaussian import SpacedDiffusion
+
+    betas = get_named_beta_schedule("cosine", 100)
+    spaced = SpacedDiffusion(
+        use_timesteps=space_timesteps(100, "ddim10"), betas=betas,
+        model_mean_type="epsilon", model_var_type="fixed_small",
+        loss_type="mse",
+    )
+    assert spaced.num_timesteps == 10
+    seen_ts = []
+
+    def model(x, tt, **kw):
+        seen_ts.append(tt)
+        return 0.1 * x
+
+    out = spaced.ddim_sample_loop(model, (1, 4, 3), jax.random.PRNGKey(0))
+    assert out.shape == (1, 4, 3)
