@@ -271,3 +271,153 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return import_two_stream_torch_state(sd)
+
+
+# ------------------------------------------------------------- torch export
+
+def _inv_linear(out: Dict, prefix: str, tree: Dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(tree["kernel"]).T
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_layernorm(out: Dict, prefix: str, tree: Dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_mlp(out: Dict, prefix: str, tree: Dict) -> None:
+    _inv_linear(out, f"{prefix}.fc1", tree["fc1"])
+    _inv_linear(out, f"{prefix}.fc2", tree["fc2"])
+
+
+def _inv_rin_attn(out: Dict, prefix: str, tree: Dict) -> None:
+    for name in ("wq", "wk", "wv", "proj"):
+        _inv_linear(out, f"{prefix}.{name}", tree[name])
+
+
+def _inv_torch_mha(out: Dict, prefix: str, tree: Dict) -> None:
+    wq, wk, wv = (np.asarray(tree[n]["kernel"]).T for n in ("wq", "wk", "wv"))
+    bq, bk, bv = (np.asarray(tree[n]["bias"]) for n in ("wq", "wk", "wv"))
+    out[f"{prefix}.in_proj_weight"] = np.concatenate([wq, wk, wv], axis=0)
+    out[f"{prefix}.in_proj_bias"] = np.concatenate([bq, bk, bv], axis=0)
+    _inv_linear(out, f"{prefix}.out_proj", tree["proj"])
+
+
+def _inv_encoder_layer(out: Dict, prefix: str, tree: Dict) -> None:
+    _inv_layernorm(out, f"{prefix}.norm1", tree["norm1"])
+    _inv_layernorm(out, f"{prefix}.norm2", tree["norm2"])
+    _inv_torch_mha(out, f"{prefix}.self_attn", tree["self_attn"])
+    _inv_linear(out, f"{prefix}.linear1", tree["mlp"]["fc1"])
+    _inv_linear(out, f"{prefix}.linear2", tree["mlp"]["fc2"])
+
+
+def _inv_decoder_layer(out: Dict, prefix: str, tree: Dict) -> None:
+    for n in ("norm1", "norm2", "norm3"):
+        _inv_layernorm(out, f"{prefix}.{n}", tree[n])
+    _inv_torch_mha(out, f"{prefix}.self_attn", tree["self_attn"])
+    _inv_torch_mha(out, f"{prefix}.multihead_attn", tree["cross_attn"])
+    _inv_linear(out, f"{prefix}.linear1", tree["mlp"]["fc1"])
+    _inv_linear(out, f"{prefix}.linear2", tree["mlp"]["fc2"])
+
+
+def _inv_rin_block(out: Dict, prefix: str, tree: Dict, kind: str) -> None:
+    norms = {
+        "read": ("norm_x", "norm_z1", "norm_z2"),
+        "write": ("norm_z", "norm_x1", "norm_x2"),
+        "compute": ("norm_z1", "norm_z2"),
+    }[kind]
+    for n in norms:
+        _inv_layernorm(out, f"{prefix}.{n}", tree[n])
+    _inv_rin_attn(out, f"{prefix}.attn", tree["attn"])
+    _inv_mlp(out, f"{prefix}.mlp", tree["mlp"])
+
+
+def _inv_query_decoder(out: Dict, prefix: str, tree: Dict) -> None:
+    out[f"{prefix}.token_queries"] = np.asarray(tree["token_queries"])
+    i = 0
+    while f"decoder_{i}" in tree:
+        _inv_decoder_layer(out, f"{prefix}.decoder.layers.{i}", tree[f"decoder_{i}"])
+        _inv_encoder_layer(
+            out, f"{prefix}.query_refiner.layers.{i}", tree[f"refiner_{i}"]
+        )
+        i += 1
+    _inv_linear(out, f"{prefix}.proj_out", tree["proj_out"])
+    _inv_layernorm(out, f"{prefix}.ln_out", tree["ln_out"])
+
+
+def export_two_stream_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Convert flax TwoStreamDenoiser variables back to a reference-style
+    torch state_dict (numpy values) — the inverse of
+    :func:`import_two_stream_torch_state`, for interop with the reference
+    ecosystem. Buffers the reference recomputes (pos embeds, token-type
+    template) are not emitted."""
+    p = variables["params"] if "params" in variables else variables
+    out: Dict[str, np.ndarray] = {}
+
+    bb = p["backbone"]
+    pre = "denoiser_backbone"
+    _inv_linear(out, f"{pre}.input_proj", bb["input_proj"])
+    _inv_layernorm(out, f"{pre}.ln_pre", bb["ln_pre"])
+    out[f"{pre}.z_init"] = np.asarray(bb["z_init"])
+    _inv_mlp(out, f"{pre}.time_embed", bb["time_embed"])
+    _inv_mlp(out, f"{pre}.latent_mlp", bb["latent_mlp"])
+    _inv_layernorm(out, f"{pre}.ln_latent", bb["ln_latent"])
+    _inv_layernorm(out, f"{pre}.ln_post", bb["ln_post"])
+    _inv_linear(out, f"{pre}.output_proj", bb["output_proj"])
+    i = 0
+    while f"block_{i}" in bb:
+        blk = bb[f"block_{i}"]
+        _inv_rin_block(out, f"{pre}.blocks.{i}.read", blk["read"], "read")
+        _inv_rin_block(out, f"{pre}.blocks.{i}.write", blk["write"], "write")
+        j = 0
+        while f"compute_{j}" in blk:
+            _inv_rin_block(
+                out, f"{pre}.blocks.{i}.compute.{j}", blk[f"compute_{j}"],
+                "compute",
+            )
+            j += 1
+        i += 1
+
+    if "encoders_class" in p:
+        out["encoders.class.embedding.weight"] = np.asarray(
+            p["encoders_class"]["embedding"]["embedding"]
+        )
+        _inv_layernorm(out, "encoders.class.norm", p["encoders_class"]["norm"])
+    if "encoders_view" in p:
+        v = p["encoders_view"]
+        _inv_linear(out, "encoders.view.mlp.0", v["fc1"])
+        _inv_linear(out, "encoders.view.mlp.2", v["fc2"])
+        _inv_linear(out, "encoders.view.mlp.4", v["fc3"])
+        _inv_layernorm(out, "encoders.view.mlp.5", v["norm"])
+    if "encoders_partial_pcd" in p:
+        e = p["encoders_partial_pcd"]
+        _inv_linear(out, "encoders.partial_pcd.input_proj", e["input_proj"])
+        out["encoders.partial_pcd.cls_token"] = np.asarray(e["cls_token"])
+        i = 0
+        while f"encoder_{i}" in e:
+            _inv_encoder_layer(
+                out, f"encoders.partial_pcd.encoder.layers.{i}", e[f"encoder_{i}"]
+            )
+            i += 1
+        _inv_query_decoder(out, "encoders.partial_pcd", e["query_decoder"])
+    if "encoders_depth" in p:
+        e = p["encoders_depth"]
+        out["encoders.depth.proj.weight"] = np.asarray(
+            e["patch_proj"]["kernel"]
+        ).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        out["encoders.depth.proj.bias"] = np.asarray(e["patch_proj"]["bias"])
+        out["encoders.depth.cls_token"] = np.asarray(e["cls_token"])
+        i = 0
+        while f"mixer_{i}" in e:
+            _inv_encoder_layer(
+                out, f"encoders.depth.mixer.layers.{i}", e[f"mixer_{i}"]
+            )
+            i += 1
+        _inv_query_decoder(out, "encoders.depth", e["query_decoder"])
+
+    if "token_type_embeddings" in p:
+        out["token_type_embeddings.weight"] = np.asarray(
+            p["token_type_embeddings"]["embedding"]
+        )
+    return out

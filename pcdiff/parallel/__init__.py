@@ -1,5 +1,6 @@
 """Device mesh / sharding utilities (data parallelism; TP-ready mesh shape)."""
 
+from .distributed import host_mean, initialize, is_lead_host
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -13,6 +14,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "initialize",
+    "is_lead_host",
+    "host_mean",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

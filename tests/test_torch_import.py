@@ -155,3 +155,22 @@ def test_forward_parity_with_self_conditioning(models_and_inputs):
     np.testing.assert_allclose(
         np.asarray(eps2), ref_eps2.permute(0, 2, 1).numpy(), rtol=1e-3, atol=5e-4
     )
+
+
+def test_export_roundtrip(models_and_inputs):
+    """export(import(sd)) reproduces every learnable tensor of the torch
+    state_dict (recomputed buffers excluded)."""
+    from pcdiff.core.checkpoint import export_two_stream_torch_state
+
+    ref, ours, variables, inputs = models_and_inputs
+    exported = export_two_stream_torch_state(variables)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    skipped = {"token_types_template", "pos_embed"}
+    for k, v in sd.items():
+        if any(s in k for s in skipped):
+            continue
+        assert k in exported, f"missing exported key: {k}"
+        np.testing.assert_allclose(exported[k], v, rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+    extra = set(exported) - set(sd)
+    assert not extra, f"unexpected exported keys: {sorted(extra)[:5]}"
