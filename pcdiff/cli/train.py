@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import datetime
-import json
 import logging
 import os
 import time
@@ -167,9 +166,11 @@ def main(cfg: Config) -> None:
         use_cd = jnp.asarray(epoch + 1 > cfg.train.start_chamfer)
         epoch_loss, n_batches = 0.0, 0
         t0 = time.time()
+        last_batch = None
         profiling = bool(cfg.train.profile_dir) and epoch == 1
         with profile_trace(cfg.train.profile_dir or None, enabled=profiling):
             for batch in loader:
+                last_batch = batch
                 batch = shard_batch(
                     mesh, {k: jnp.asarray(v) for k, v in batch.items()}
                 )
@@ -183,6 +184,14 @@ def main(cfg: Config) -> None:
                 global_step += 1
                 mlog.log({"loss": loss, "mse": float(metrics["mse"])},
                          step=global_step)
+        if (
+            jax.process_index() == 0
+            and last_batch is not None
+            and (epoch + 1) % cfg.train.sample_every == 0
+        ):
+            key, sub = jax.random.split(key)
+            _sample_last_batch(cfg, model, state, diffusion, last_batch,
+                               run_dir, epoch + 1, sub)
         if jax.process_index() == 0 and n_batches:
             logger.info(
                 "epoch %d: avg loss %.4f (%d steps, %.1fs)",
@@ -199,6 +208,43 @@ def main(cfg: Config) -> None:
                     )
                 logger.info("saved checkpoint at step %d", global_step)
     mlog.finish()
+
+
+def _sample_last_batch(cfg, model, state, diffusion, batch, run_dir, epoch, key):
+    """In-training qualitative sampling on the epoch's last batch
+    (reference train.py:299-337): save partials, targets, and samples as
+    PLYs for visual inspection."""
+    from ..diffusion.sampler import PointCloudSampler
+    from ..models.wrapper import BoundTwoStream
+    from ..utils.io import save_samples, save_target_point_clouds
+
+    bound = BoundTwoStream(model, jax.device_get(state.params))
+    sampler = PointCloudSampler(
+        models=[bound], diffusions=[diffusion],
+        num_points=[cfg.model.num_points], aux_channels=[],
+        guidance_scale=[cfg.sample.guidance_scale], clip_denoised=True,
+        use_karras=[cfg.sample.use_karras],
+        karras_steps=[cfg.sample.karras_steps],
+        sigma_min=[cfg.sample.sigma_min], sigma_max=[cfg.sample.sigma_max],
+        s_churn=[cfg.sample.s_churn],
+    )
+    kwargs = {
+        k: jnp.asarray(batch[k])
+        for k in ("class_labels", "viewpoints", "partial_pcd", "depth_maps")
+        if k in batch
+    }
+    B = len(batch["target"])
+    samples = sampler.sample_batch(B, kwargs, key)
+    save_target_point_clouds(
+        batch["partial_pcd"], os.path.join(run_dir, f"partial_pcd_epoch_{epoch}"),
+        prefix="partial_pcd",
+    )
+    save_target_point_clouds(
+        batch["target"], os.path.join(run_dir, f"target_points_epoch_{epoch}"),
+        prefix="target_points",
+    )
+    save_samples(np.asarray(samples), os.path.join(run_dir, f"samples_epoch_{epoch}"))
+    logger.info("saved qualitative samples for epoch %d", epoch)
 
 
 def cli():

@@ -16,7 +16,6 @@ import os
 import re
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 __all__ = [

@@ -24,8 +24,6 @@ flagship model.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace as dc_replace
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax

@@ -9,7 +9,7 @@ down-cast to float32 only when they enter a jitted program.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Sequence, Set, Union
+from typing import Sequence, Set, Union
 
 import numpy as np
 

@@ -9,7 +9,6 @@ memory fallback for fortran/object arrays.
 from __future__ import annotations
 
 import glob as globlib
-import io
 import os
 import re
 import zipfile

@@ -23,7 +23,7 @@ tokenized ids directly when it is unavailable).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -18,6 +18,7 @@ __all__ = [
     "timestep_embedding",
     "build_2d_sincos_position_embedding",
     "fourier_pe",
+    "preprocess_img",
 ]
 
 
@@ -73,3 +74,20 @@ def fourier_pe(xyz: jnp.ndarray, num_freqs: int = 8, scale: float = 0.5) -> jnp.
     enc = xyz[..., None] * freqs  # [..., 3, F]
     enc = jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)  # [..., 3, 2F]
     return enc.reshape(enc.shape[:-2] + (-1,))
+
+
+def preprocess_img(x: jnp.ndarray) -> jnp.ndarray:
+    """MCC-style image normalization: bilinear-resize to 224 and apply the
+    ResNet mean/std (``/root/reference/models/util.py:96-110``).
+
+    x: [B, H, W, 3] float in [0, 1] (channels-last).
+    """
+    import jax
+
+    if x.shape[1] != 224:
+        x = jax.image.resize(
+            x, (x.shape[0], 224, 224, x.shape[-1]), method="bilinear"
+        )
+    mean = jnp.asarray([0.485, 0.456, 0.406], dtype=x.dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], dtype=x.dtype)
+    return (x - mean) / std

@@ -14,7 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import DecoderLayer, EncoderLayer, LayerNorm, Mlp, default_kernel_init
+from .attention import DecoderLayer, EncoderLayer, LayerNorm, default_kernel_init
 from .embeddings import build_2d_sincos_position_embedding
 
 __all__ = [

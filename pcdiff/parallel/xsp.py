@@ -19,7 +19,6 @@ backbone (integration is a follow-up; 1024-point models fit one chip).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ XLA program per step:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
