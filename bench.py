@@ -9,11 +9,18 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_CLOUDS_PER_SEC = 32.0 / 276.0  # reference GPU sampling throughput
+
+
+def _entropy_seed(bits: int = 31) -> int:
+    # The axon runtime caches executions whose program and (large) inputs
+    # repeat — across processes. Every benchmark tensor must be unique.
+    return int.from_bytes(os.urandom(8), "little") % (2**bits)
 
 
 def main():
@@ -35,7 +42,7 @@ def main():
         num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
         depth_patch=32,
     )
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_entropy_seed())
     batch = dict(
         class_labels=jnp.asarray(rng.integers(0, 10, (B,)), dtype=jnp.int32),
         viewpoints=jnp.asarray(rng.standard_normal((B, 3)), dtype=jnp.float32),
@@ -45,7 +52,7 @@ def main():
         depth_maps=jnp.asarray(rng.random((B, 512, 512, 1)), dtype=jnp.float32),
     )
     params = model.init(
-        jax.random.PRNGKey(0),
+        jax.random.PRNGKey(_entropy_seed()),
         jnp.zeros((B, NUM_POINTS, 3)), jnp.zeros((B,), jnp.int32),
         **batch,
     )
@@ -63,15 +70,17 @@ def main():
         lambda key: sampler.sample_batch(B, batch, key)
     )
 
-    # warmup / compile
-    out = run(jax.random.PRNGKey(0))
-    out.block_until_ready()
+    base_key = jax.random.PRNGKey(_entropy_seed())
+
+    # warmup / compile (materialize to be safe against async elision)
+    out = run(jax.random.fold_in(base_key, 0))
+    float(jnp.sum(out))
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+        out = run(jax.random.fold_in(base_key, i + 1))
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     clouds_per_sec = B / dt
