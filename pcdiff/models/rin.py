@@ -21,7 +21,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-from .attention import CrossAttention, LayerNorm, Mlp, default_kernel_init
+from .attention import (
+    AttentionFn,
+    CrossAttention,
+    LayerNorm,
+    Mlp,
+    default_kernel_init,
+    dot_product_attention,
+)
 from .embeddings import timestep_embedding
 
 __all__ = ["ComputeBlock", "ReadBlock", "WriteBlock", "RCWBlock", "DenoiserBackbone"]
@@ -63,6 +70,7 @@ class ReadBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -71,7 +79,7 @@ class ReadBlock(nn.Module):
         z = z + CrossAttention(
             self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            name="attn",
+            attention_fn=self.attention_fn, name="attn",
         )(
             LayerNorm(dtype=self.dtype, name="norm_z1")(z),
             LayerNorm(dtype=self.dtype, name="norm_x")(x),
@@ -94,6 +102,7 @@ class WriteBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -102,7 +111,7 @@ class WriteBlock(nn.Module):
         x = x + CrossAttention(
             self.x_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            name="attn",
+            attention_fn=self.attention_fn, name="attn",
         )(
             LayerNorm(dtype=self.dtype, name="norm_x1")(x),
             LayerNorm(dtype=self.dtype, name="norm_z")(z),
@@ -116,7 +125,12 @@ class WriteBlock(nn.Module):
 
 
 class RCWBlock(nn.Module):
-    """read -> K x compute -> write (reference ``RCW_Block``)."""
+    """read -> K x compute -> write (reference ``RCW_Block``).
+
+    ``read_attention_fn`` / ``write_attention_fn`` select the attention
+    implementation for the interface attentions — the hook for x-stream
+    sequence parallelism (:mod:`pcdiff.parallel.xsp`).
+    """
 
     z_dim: int
     x_dim: int
@@ -127,6 +141,8 @@ class RCWBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    read_attention_fn: AttentionFn = staticmethod(dot_product_attention)
+    write_attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -137,12 +153,18 @@ class RCWBlock(nn.Module):
             qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
             dtype=self.dtype,
         )
-        z = ReadBlock(self.z_dim, name="read", **common)(z, x, deterministic)
+        z = ReadBlock(
+            self.z_dim, name="read", attention_fn=self.read_attention_fn,
+            **common,
+        )(z, x, deterministic)
         for i in range(self.num_compute_layers):
             z = ComputeBlock(self.z_dim, name=f"compute_{i}", **common)(
                 z, deterministic
             )
-        x = WriteBlock(self.x_dim, name="write", **common)(z, x, deterministic)
+        x = WriteBlock(
+            self.x_dim, name="write", attention_fn=self.write_attention_fn,
+            **common,
+        )(z, x, deterministic)
         return z, x
 
 
@@ -169,6 +191,8 @@ class DenoiserBackbone(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    read_attention_fn: AttentionFn = staticmethod(dot_product_attention)
+    write_attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -230,7 +254,10 @@ class DenoiserBackbone(nn.Module):
                 num_compute_layers=self.num_compute_layers,
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype,
+                read_attention_fn=self.read_attention_fn,
+                write_attention_fn=self.write_attention_fn,
+                name=f"block_{i}",
             )(z, x, deterministic)
 
         x = LayerNorm(dtype=self.dtype, name="ln_post")(x)

@@ -57,7 +57,9 @@ def sharded_read_attention(
             "bhqd,bhkd->bhqk", q_l, k_l, preferred_element_type=jnp.float32
         ).astype(jnp.float32)
         m_local = jnp.max(logits, axis=-1)
-        m = jax.lax.pmax(m_local, axis)
+        # the softmax max-shift is gradient-invariant; stop_gradient makes
+        # pmax differentiable-by-construction with exact gradients
+        m = jax.lax.pmax(jax.lax.stop_gradient(m_local), axis)
         p = jnp.exp(logits - m[..., None])
         denom = jax.lax.psum(jnp.sum(p, axis=-1), axis)
         part = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_l.dtype), v_l)

@@ -1,0 +1,78 @@
+"""Sharded RIN backbone: x-stream sequence parallelism via the attention_fn
+hook must produce EXACTLY the dense backbone's outputs (same params), with
+the point tokens split 8 ways on the virtual CPU mesh."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdiff.models.rin import DenoiserBackbone
+from pcdiff.parallel import make_mesh
+from pcdiff.parallel.xsp import sharded_read_attention, sharded_write_attention
+
+B, NUM_X, NUM_Z, DIM = 2, 64, 8, 32
+
+
+def test_sharded_backbone_matches_dense():
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+
+    dense = DenoiserBackbone(
+        num_x=NUM_X, num_z=NUM_Z, z_dim=DIM, x_dim=DIM, num_blocks=2,
+        num_compute_layers=1, num_heads=4,
+    )
+    sharded = DenoiserBackbone(
+        num_x=NUM_X, num_z=NUM_Z, z_dim=DIM, x_dim=DIM, num_blocks=2,
+        num_compute_layers=1, num_heads=4,
+        read_attention_fn=partial(sharded_read_attention, mesh=mesh),
+        write_attention_fn=partial(sharded_write_attention, mesh=mesh),
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, NUM_X, 3)), dtype=jnp.float32)
+    t = jnp.asarray([3, 70])
+    cond = jnp.asarray(rng.standard_normal((B, 6, DIM)), dtype=jnp.float32)
+
+    params = dense.init(jax.random.PRNGKey(0), x, t, cond)
+
+    out_dense, z_dense = dense.apply(params, x, t, cond)
+    # same params drive the sharded variant: only attention impls differ
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P(None, "model", None)))
+    out_sh, z_sh = jax.jit(
+        lambda p, x, t, c: sharded.apply(p, x, t, c)
+    )(params, x_sharded, t, cond)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_dense), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_sh), np.asarray(z_dense), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_backbone_gradients_finite():
+    """The sharded path must be differentiable (psum/pmax transpose)."""
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    sharded = DenoiserBackbone(
+        num_x=NUM_X, num_z=NUM_Z, z_dim=DIM, x_dim=DIM, num_blocks=1,
+        num_compute_layers=1, num_heads=4,
+        read_attention_fn=partial(sharded_read_attention, mesh=mesh),
+        write_attention_fn=partial(sharded_write_attention, mesh=mesh),
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, NUM_X, 3)), dtype=jnp.float32)
+    t = jnp.asarray([3, 70])
+    cond = jnp.asarray(rng.standard_normal((B, 6, DIM)), dtype=jnp.float32)
+    params = sharded.init(jax.random.PRNGKey(0), x, t, cond)
+
+    def loss(p):
+        out, _ = sharded.apply(p, x, t, cond)
+        return jnp.sum(out**2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
