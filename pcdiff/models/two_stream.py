@@ -27,7 +27,7 @@ keep masks (``model.py:519-529``).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -69,8 +69,17 @@ class TwoStreamDenoiser(nn.Module):
     depth_patch: int = 32
     active_modalities: Sequence[str] = ("class", "view", "partial_pcd", "depth")
     dtype: jnp.dtype = jnp.float32
+    # x-stream sequence parallelism hooks (pcdiff.parallel.xsp): selectable
+    # attention implementations for the read/write interface attentions
+    read_attention_fn: Any = None
+    write_attention_fn: Any = None
 
     def setup(self):
+        backbone_kwargs = {}
+        if self.read_attention_fn is not None:
+            backbone_kwargs["read_attention_fn"] = self.read_attention_fn
+        if self.write_attention_fn is not None:
+            backbone_kwargs["write_attention_fn"] = self.write_attention_fn
         self.backbone = DenoiserBackbone(
             input_channels=self.input_channels,
             output_channels=self.output_channels,
@@ -79,6 +88,7 @@ class TwoStreamDenoiser(nn.Module):
             num_blocks=self.num_blocks,
             num_compute_layers=self.num_compute_layers,
             num_heads=self.num_heads, dtype=self.dtype,
+            **backbone_kwargs,
         )
         encoders = {}
         for m in self.active_modalities:
