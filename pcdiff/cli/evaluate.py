@@ -40,6 +40,7 @@ def main(cfg: Config) -> dict:
             logging.StreamHandler(),
             logging.FileHandler(f"evaluation_log_{timestamp}.txt"),
         ],
+        force=True,  # reconfigure even if logging was already set up
     )
     key = jax.random.PRNGKey(cfg.train.seed)
     model = build_model(cfg)

@@ -94,7 +94,8 @@ def init_params(model: TwoStreamDenoiser, cfg: Config, key):
 
 def main(cfg: Config) -> None:
     logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s [%(levelname)s] %(message)s")
+                        format="%(asctime)s [%(levelname)s] %(message)s",
+                        force=True)
     timestamp = datetime.datetime.now().strftime("%d-%m-%Y_%H-%M")
     run_dir = os.path.join(cfg.train.output_dir, f"run_{timestamp}")
     if jax.process_index() == 0:
