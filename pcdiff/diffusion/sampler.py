@@ -100,7 +100,6 @@ class PointCloudSampler:
         kf = list(model_kwargs_key_filter) or ["*"] * n
         self.model_kwargs_key_filter = _broadcast(kf, n, "model_kwargs_key_filter")
         self.sampler = sampler
-        self._compiled: Dict[Any, Callable] = {}
 
     @property
     def num_stages(self) -> int:

@@ -137,3 +137,29 @@ def test_completion_metrics_aggregation(rng):
     assert out["overall"]["count"] == 4
     assert out["overall"]["cd_full"] < 0.01
     assert out["overall"]["f1_full"] > 0.9
+
+
+def test_feature_extractor_padding_and_shapes(rng):
+    """features_and_preds pads the ragged final chunk and strips it back."""
+    import jax
+
+    from pcdiff.evals.feature_extractor import (
+        PointNetClassifier,
+        normalize_point_clouds,
+    )
+    from pcdiff.evals.pointnet2 import PointNet2ClassifierSSG
+
+    model = PointNet2ClassifierSSG(num_class=40, normal_channel=False,
+                                   width_mult=1)
+    clouds = rng.standard_normal((5, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:1]))
+    clf = PointNetClassifier(params=variables, batch_size=2, width_mult=1)
+    feats, preds = clf.features_and_preds(clouds)
+    assert feats.shape == (5, 256)
+    assert preds.shape == (5, 40)
+    np.testing.assert_allclose(preds.sum(axis=1), 1.0, rtol=1e-4)
+
+    normed = normalize_point_clouds(clouds)
+    np.testing.assert_allclose(normed.mean(axis=1), 0.0, atol=1e-6)
+    radii = np.linalg.norm(normed, axis=-1).max(axis=1)
+    np.testing.assert_allclose(radii, 1.0, rtol=1e-5)
