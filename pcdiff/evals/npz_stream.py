@@ -46,7 +46,7 @@ class NumpyArrayInfo:
     @classmethod
     def infos_from_file(cls, npz_path: str) -> Dict[str, "NumpyArrayInfo"]:
         if not os.path.exists(npz_path):
-            raise FileNotFoundError(f"batch of samples was not found: {npz_path}")
+            raise FileNotFoundError(f"npz sample batch does not exist: {npz_path}")
         results = {}
         with open(npz_path, "rb") as f, zipfile.ZipFile(f, "r") as zf:
             for name in zf.namelist():
@@ -175,12 +175,12 @@ class NpzStreamer:
                     if any(b is None for b in batches):
                         if not all(b is None for b in batches):
                             raise RuntimeError(
-                                "different keys had different numbers of elements"
+                                "ragged npz: element counts differ across keys"
                             )
                         break
                     if any(len(b) != len(batches[0]) for b in batches):
                         raise RuntimeError(
-                            "different keys had different numbers of elements"
+                            "ragged npz: element counts differ across keys"
                         )
                     got = dict(zip(keys, batches))
                     if remaining is not None:
