@@ -34,8 +34,12 @@ __all__ = [
     "sample_and_group",
     "sample_and_group_all",
     "PointNetSetAbstraction",
+    "PointNetSetAbstractionMsg",
+    "PointNetFeaturePropagation",
     "PointNet2ClassifierSSG",
     "import_pointnet2_torch_state",
+    "import_sa_msg_torch_state",
+    "import_fp_torch_state",
 ]
 
 
@@ -125,6 +129,99 @@ class PointNetSetAbstraction(nn.Module):
             h = nn.relu(h)
         new_points = jnp.max(h, axis=2)  # max over the K neighborhood
         return new_xyz, new_points
+
+
+class PointNetSetAbstractionMsg(nn.Module):
+    """Multi-scale-grouping set abstraction
+    (``/root/reference/evals/pointnet2_utils.py:244-302``).
+
+    One FPS centroid set queried at several radii; each scale runs its own
+    shared-MLP stack and max-pools over its neighborhood, then the per-scale
+    features are concatenated. NOTE the reference's concat order here is
+    [features, relative_xyz] — the opposite of SSG's ``sample_and_group``.
+    """
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(
+        self, xyz: jnp.ndarray, points: Optional[jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xyz: [B, N, 3] channels-last; points: [B, N, D] or None.
+        Returns (new_xyz [B, S, 3], features [B, S, sum(mlp[-1])])."""
+        B, N, C = xyz.shape
+        S = self.npoint
+        fps_idx = farthest_point_sample(xyz, S, deterministic=True)
+        new_xyz = index_points(xyz, fps_idx)
+        outs = []
+        for i, radius in enumerate(self.radius_list):
+            K = self.nsample_list[i]
+            idx = query_ball_point(radius, K, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = jnp.concatenate(
+                    [index_points(points, idx), grouped_xyz], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            h = grouped  # [B, S, K, C_in]
+            for j, out_ch in enumerate(self.mlp_list[i]):
+                h = nn.Conv(out_ch, kernel_size=(1, 1), name=f"conv_{i}_{j}")(h)
+                h = nn.BatchNorm(
+                    use_running_average=True, epsilon=1e-5, momentum=0.9,
+                    name=f"bn_{i}_{j}",
+                )(h)
+                h = nn.relu(h)
+            outs.append(jnp.max(h, axis=2))  # [B, S, D_i]
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointNetFeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN feature interpolation + shared MLP
+    (``/root/reference/evals/pointnet2_utils.py:304-356``)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz1: jnp.ndarray,
+        xyz2: jnp.ndarray,
+        points1: Optional[jnp.ndarray],
+        points2: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """xyz1: [B, N, 3] targets; xyz2: [B, S, 3] sources;
+        points1: [B, N, D1] or None; points2: [B, S, D2].
+        Returns [B, N, mlp[-1]] channels-last."""
+        B, N, _ = xyz1.shape
+        S = xyz2.shape[1]
+
+        if S == 1:
+            interpolated = jnp.broadcast_to(points2, (B, N, points2.shape[-1]))
+        else:
+            dists = square_distance(xyz1, xyz2)  # [B, N, S]
+            neg, idx = jax.lax.top_k(-dists, 3)  # 3 smallest
+            dist_recip = 1.0 / (-neg + 1e-8)
+            weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)
+            interpolated = jnp.sum(
+                index_points(points2, idx) * weight[..., None], axis=2
+            )
+
+        if points1 is not None:
+            h = jnp.concatenate([points1, interpolated], axis=-1)
+        else:
+            h = interpolated
+        for i, out_ch in enumerate(self.mlp):
+            h = nn.Conv(out_ch, kernel_size=(1,), name=f"conv_{i}")(h)
+            h = nn.BatchNorm(
+                use_running_average=True, epsilon=1e-5, momentum=0.9,
+                name=f"bn_{i}",
+            )(h)
+            h = nn.relu(h)
+        return h
 
 
 class PointNet2ClassifierSSG(nn.Module):
@@ -219,4 +316,53 @@ def import_pointnet2_torch_state(state_dict) -> Dict:
             "var": _t(sd[f"{bn}.running_var"]),
         }
     params["fc3"] = {"kernel": _t(sd["fc3.weight"]).T, "bias": _t(sd["fc3.bias"])}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_sa_msg_torch_state(state_dict, num_scales: int) -> Dict:
+    """Map a torch ``PointNetSetAbstractionMsg`` state_dict to flax variables."""
+    sd = state_dict
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for i in range(num_scales):
+        j = 0
+        while f"conv_blocks.{i}.{j}.weight" in sd:
+            w = _t(sd[f"conv_blocks.{i}.{j}.weight"])  # [out, in, 1, 1]
+            params[f"conv_{i}_{j}"] = {
+                "kernel": w.transpose(2, 3, 1, 0),
+                "bias": _t(sd[f"conv_blocks.{i}.{j}.bias"]),
+            }
+            params[f"bn_{i}_{j}"] = {
+                "scale": _t(sd[f"bn_blocks.{i}.{j}.weight"]),
+                "bias": _t(sd[f"bn_blocks.{i}.{j}.bias"]),
+            }
+            batch_stats[f"bn_{i}_{j}"] = {
+                "mean": _t(sd[f"bn_blocks.{i}.{j}.running_mean"]),
+                "var": _t(sd[f"bn_blocks.{i}.{j}.running_var"]),
+            }
+            j += 1
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_fp_torch_state(state_dict) -> Dict:
+    """Map a torch ``PointNetFeaturePropagation`` state_dict to flax variables."""
+    sd = state_dict
+    params: Dict = {}
+    batch_stats: Dict = {}
+    i = 0
+    while f"mlp_convs.{i}.weight" in sd:
+        w = _t(sd[f"mlp_convs.{i}.weight"])  # [out, in, 1]
+        params[f"conv_{i}"] = {
+            "kernel": w.transpose(2, 1, 0),  # -> [1, in, out]
+            "bias": _t(sd[f"mlp_convs.{i}.bias"]),
+        }
+        params[f"bn_{i}"] = {
+            "scale": _t(sd[f"mlp_bns.{i}.weight"]),
+            "bias": _t(sd[f"mlp_bns.{i}.bias"]),
+        }
+        batch_stats[f"bn_{i}"] = {
+            "mean": _t(sd[f"mlp_bns.{i}.running_mean"]),
+            "var": _t(sd[f"mlp_bns.{i}.running_var"]),
+        }
+        i += 1
     return {"params": params, "batch_stats": batch_stats}

@@ -83,16 +83,29 @@ class CrossAttention(nn.Module):
             self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=default_kernel_init, name=name,
         )
-        q = dense("wq")(x_q).reshape(B, N_q, H, head_dim).transpose(0, 2, 1, 3)
-        k = dense("wk")(x_kv).reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
-        v = dense("wv")(x_kv).reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
+        q2 = dense("wq")(x_q)
+        k2 = dense("wk")(x_kv)
+        v2 = dense("wv")(x_kv)
 
-        out = self.attention_fn(q * scale, k, v)
+        fn = self.attention_fn
+        inner = fn.__func__ if isinstance(fn, staticmethod) else fn
+        if inner is dot_product_attention:
+            # default path: heads stay folded in the feature axis so no
+            # head-split relayout ever reaches HBM (Pallas kernel on TPU)
+            from ..ops.flash_attention import fused_attention_mh
+
+            out = fused_attention_mh(q2 * scale, k2, v2, H)
+        else:
+            # custom attention_fn hook (e.g. xsp sharded attention): bhqd
+            q = q2.reshape(B, N_q, H, head_dim).transpose(0, 2, 1, 3)
+            k = k2.reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
+            v = v2.reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
+            out = fn(q * scale, k, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N_q, self.dim)
         if self.attn_drop > 0.0:
             # the reference drops attention *weights*; with the fused kernel we
             # apply an equivalent-rate dropout on the attention output
             out = nn.Dropout(self.attn_drop)(out, deterministic=deterministic)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N_q, self.dim)
         out = nn.Dense(
             self.dim, dtype=self.dtype, kernel_init=default_kernel_init, name="proj"
         )(out)

@@ -3,7 +3,13 @@
 from .flash_attention import (
     attention_backend,
     fused_attention,
+    fused_attention_mh,
     set_attention_backend,
 )
 
-__all__ = ["fused_attention", "set_attention_backend", "attention_backend"]
+__all__ = [
+    "fused_attention",
+    "fused_attention_mh",
+    "set_attention_backend",
+    "attention_backend",
+]

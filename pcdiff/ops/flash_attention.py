@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention", "set_attention_backend", "attention_backend"]
+__all__ = [
+    "fused_attention",
+    "fused_attention_mh",
+    "set_attention_backend",
+    "attention_backend",
+]
 
 _BACKEND = "auto"  # auto | pallas | xla
 
@@ -136,6 +141,161 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
                                memory_space=pltpu.VMEM),
     )(qf, kf, vf)
     return out[:, :Nq].reshape(B, H, Nq, D)
+
+
+# --------------------------------------------------------------------------
+# Multi-head fused attention in [B, N, H*D] layout.
+#
+# Keeping the head dimension folded into the feature axis removes the
+# [B,N,H,D] <-> [B,H,N,D] relayouts XLA must otherwise materialize around a
+# custom call (~67 MB per tensor per attention at the flagship benchmark
+# shapes — comparable to the attention's own traffic), and makes the grid
+# one fat cell per batch row (64 cells at the CFG benchmark batch instead of
+# 1024), which amortizes per-cell overhead. Per cell the kernel loops over
+# heads; each head's score panel lives only in VMEM.
+# --------------------------------------------------------------------------
+
+# Score panels and operand blocks must fit comfortably in VMEM (v5e: 128 MB,
+# shared with Pallas double-buffering of the in/out blocks).
+_MH_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, mxu_dtype):
+    """One batch row: all heads, whole KV panel resident, fp32 softmax.
+
+    ``mxu_dtype=bfloat16`` feeds the MXU single-pass bf16 operands with fp32
+    accumulation — the same arithmetic XLA's DEFAULT matmul precision uses
+    for fp32 einsums on TPU, so this matches the XLA path's numerics class
+    while tripling matmul throughput over multi-pass fp32.
+    """
+    hd = q_ref.shape[-1]
+    d = hd // num_heads
+    q = q_ref[0].astype(mxu_dtype)  # [BQ, H*D]
+    k = k_ref[0].astype(mxu_dtype)  # [NK, H*D]
+    v = v_ref[0].astype(mxu_dtype)
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, NK] fp32
+        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        # normalize on the [BQ, D] output, not the [BQ, NK] panel — saves a
+        # full panel read+write pass on the VPU
+        recip = pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+        o = jax.lax.dot_general(
+            p.astype(mxu_dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o * recip).astype(o_ref.dtype)
+
+
+def _mh_vmem_bytes(nq: int, nk: int, hd: int, num_heads: int, itemsize: int) -> int:
+    blocks = 2 * (nq + 2 * nk + nq) * hd * itemsize  # double-buffered in/out
+    scores = nq * _round_up(nk, 128) * 4  # one head's fp32 panel (+ exp copy)
+    return blocks + 2 * scores
+
+
+def _use_pallas_mh(q: jnp.ndarray, num_heads: int, nk: int) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND != "pallas" and jax.default_backend() != "tpu":
+        return False
+    hd = q.shape[-1]
+    d = hd // num_heads
+    if hd % num_heads or d % 32 or hd % 128:
+        return False  # head slices must be lane-register aligned
+    return _mh_vmem_bytes(q.shape[1], nk, hd, num_heads, q.dtype.itemsize) <= (
+        _MH_VMEM_BUDGET
+    )
+
+
+def _pallas_attention_mh(q, k, v, num_heads: int, mxu_dtype=jnp.bfloat16):
+    B, nq, hd = q.shape
+    nk = k.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_mh_kernel, num_heads=num_heads, mxu_dtype=mxu_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nq, hd), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, nq, hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq, hd), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # v5e has 128 MB VMEM; the default 16 MB scoped limit is far too
+            # small for whole-KV panels plus double-buffered blocks
+            vmem_limit_bytes=_MH_VMEM_BUDGET,
+        ),
+    )(q, k, v)
+    return out
+
+
+def _split_heads(x, num_heads):
+    B, N, hd = x.shape
+    return x.reshape(B, N, num_heads, hd // num_heads)
+
+
+def _xla_attention_mh(q, k, v, num_heads: int):
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return out.reshape(q.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_mh(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    """softmax(q k^T) v per head over [B, N, H*D] inputs; q pre-scaled.
+
+    Heads are folded in the feature axis so no head-split relayout ever
+    reaches HBM. fp32 softmax regardless of input dtype.
+    """
+    if _use_pallas_mh(q, num_heads, k.shape[1]):
+        return _pallas_attention_mh(q, k, v, num_heads)
+    return _xla_attention_mh(q, k, v, num_heads)
+
+
+def _mh_fwd(q, k, v, num_heads):
+    return fused_attention_mh(q, k, v, num_heads), (q, k, v)
+
+
+def _mh_bwd(num_heads, res, g):
+    """Exact backward via recomputation with standard XLA ops."""
+    q, k, v = res
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+    gh = _split_heads(g, num_heads).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", w, gh).astype(v.dtype).reshape(v.shape)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", gh, vh.astype(jnp.float32))
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = (
+        jnp.einsum("bhqk,bkhd->bqhd", ds, kh.astype(jnp.float32))
+        .astype(q.dtype).reshape(q.shape)
+    )
+    dk = (
+        jnp.einsum("bhqk,bqhd->bkhd", ds, qh.astype(jnp.float32))
+        .astype(k.dtype).reshape(k.shape)
+    )
+    return dq, dk, dv
+
+
+fused_attention_mh.defvjp(_mh_fwd, _mh_bwd)
 
 
 @jax.custom_vjp

@@ -6,9 +6,11 @@ once, evaluate the SDF on a ``grid_size**3`` lattice over a centered cube of
 optionally fill vertex channels from each vertex's nearest cloud point.
 
 Differences: the whole lattice is evaluated in jitted fixed-size batches on
-device, and the isosurface comes from the numpy marching-tetrahedra in
-:mod:`pcdiff.utils.marching` (skimage is not a dependency here) — same
-surface, different triangulation.
+device, and the isosurface comes from :func:`pcdiff.utils.marching.marching_cubes`
+(lookup-table marching cubes, same vertex positions as the reference's
+skimage call; skimage itself is not a dependency here). Our extractor emits
+right-hand-rule/outward faces directly, so the reference's face-column swap
+(``pc_to_mesh.py:77-83``) is already applied.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import numpy as np
 
 from ..geometry.mesh import TriMesh
 from ..geometry.point_cloud import PointCloud
-from .marching import marching_tetrahedra
+from .marching import marching_cubes, marching_tetrahedra
 
 __all__ = ["marching_cubes_mesh"]
 
@@ -37,6 +39,7 @@ def marching_cubes_mesh(
     grid_size: int = 128,
     side_length: float = 1.02,
     fill_vertex_channels: bool = True,
+    method: str = "cubes",
 ) -> TriMesh:
     """Extract the SDF zero surface of a point cloud as a triangle mesh.
 
@@ -80,9 +83,17 @@ def marching_cubes_mesh(
     if np.all(volume < 0) or np.all(volume > 0):
         volume = volume - np.mean(volume)
 
-    verts, faces = marching_tetrahedra(volume, level=0.0)
-    verts = verts * voxel_size + min_coord
-    normals = _face_normals(verts, faces)
+    if method == "cubes":
+        verts, faces, normals = marching_cubes(
+            volume, level=0.0, spacing=(voxel_size,) * 3
+        )
+        verts = verts + min_coord
+    elif method == "tetrahedra":
+        verts, faces = marching_tetrahedra(volume, level=0.0)
+        verts = verts * voxel_size + min_coord
+        normals = _face_normals(verts, faces)
+    else:
+        raise ValueError(f"unknown method: {method}")
 
     return TriMesh(
         verts=verts,

@@ -86,6 +86,110 @@ def test_pointnet2_classifier_weight_port_parity(xyz):
     )
 
 
+def test_set_abstraction_msg_weight_port_parity(xyz, rng):
+    from pcdiff.evals.pointnet2 import (
+        PointNetSetAbstractionMsg,
+        import_sa_msg_torch_state,
+    )
+
+    torch.manual_seed(1)
+    radius_list, nsample_list = [0.2, 0.5], [8, 16]
+    mlp_list = [[16, 32], [16, 48]]
+    in_channel = 5
+    ref = ref_pn2.PointNetSetAbstractionMsg(
+        S, radius_list, nsample_list, in_channel, mlp_list
+    )
+    ref.eval()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+    points = rng.standard_normal((B, N, in_channel)).astype(np.float32)
+    with torch.no_grad():
+        ref_xyz, ref_feats = ref(
+            torch.from_numpy(xyz).permute(0, 2, 1),
+            torch.from_numpy(points).permute(0, 2, 1),
+        )
+
+    ours = PointNetSetAbstractionMsg(S, radius_list, nsample_list, mlp_list)
+    variables = import_sa_msg_torch_state(ref.state_dict(), len(mlp_list))
+    got_xyz, got_feats = ours.apply(variables, jnp.asarray(xyz), jnp.asarray(points))
+    np.testing.assert_allclose(
+        np.asarray(got_xyz), ref_xyz.permute(0, 2, 1).numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_feats), ref_feats.permute(0, 2, 1).numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_feature_propagation_weight_port_parity(xyz, rng):
+    from pcdiff.evals.pointnet2 import (
+        PointNetFeaturePropagation,
+        import_fp_torch_state,
+    )
+
+    torch.manual_seed(2)
+    d1, d2 = 6, 10
+    ref = ref_pn2.PointNetFeaturePropagation(d1 + d2, [24, 16])
+    ref.eval()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+    xyz2 = rng.standard_normal((B, S, 3)).astype(np.float32)
+    points1 = rng.standard_normal((B, N, d1)).astype(np.float32)
+    points2 = rng.standard_normal((B, S, d2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(xyz).permute(0, 2, 1),
+            torch.from_numpy(xyz2).permute(0, 2, 1),
+            torch.from_numpy(points1).permute(0, 2, 1),
+            torch.from_numpy(points2).permute(0, 2, 1),
+        )
+    ours = PointNetFeaturePropagation([24, 16])
+    variables = import_fp_torch_state(ref.state_dict())
+    got = ours.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(xyz2),
+        jnp.asarray(points1), jnp.asarray(points2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 1).numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_feature_propagation_single_source_broadcast(rng):
+    """S == 1 broadcast path (reference ``repeat``), points1=None."""
+    from pcdiff.evals.pointnet2 import (
+        PointNetFeaturePropagation,
+        import_fp_torch_state,
+    )
+
+    torch.manual_seed(3)
+    ref = ref_pn2.PointNetFeaturePropagation(4, [8])
+    ref.eval()
+    xyz1 = rng.standard_normal((B, N, 3)).astype(np.float32)
+    xyz2 = rng.standard_normal((B, 1, 3)).astype(np.float32)
+    points2 = rng.standard_normal((B, 1, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(xyz1).permute(0, 2, 1),
+            torch.from_numpy(xyz2).permute(0, 2, 1),
+            None,
+            torch.from_numpy(points2).permute(0, 2, 1),
+        )
+    ours = PointNetFeaturePropagation([8])
+    variables = import_fp_torch_state(ref.state_dict())
+    got = ours.apply(
+        variables, jnp.asarray(xyz1), jnp.asarray(xyz2), None, jnp.asarray(points2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fid_matches_reference(rng):
     a = rng.standard_normal((200, 16))
     b = rng.standard_normal((220, 16)) + 0.3

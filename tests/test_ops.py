@@ -47,6 +47,65 @@ def test_fused_attention_gradients_match_xla(qkv):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "nq,nk,heads,hd",
+    [(643, 1024, 8, 256), (37, 53, 4, 128), (257, 129, 2, 256)],
+)
+def test_pallas_mh_kernel_matches_xla_interpret(rng, nq, nk, heads, hd):
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = 2
+    q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32)
+    want = fa._xla_attention_mh(q, k, v, heads)
+    with pltpu.force_tpu_interpret_mode():
+        # fp32 MXU passes in interpret mode for an exact-tolerance check
+        got = fa._pallas_attention_mh(q, k, v, heads, mxu_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_mh_matches_bhqd_layout(rng):
+    """The mh layout must compute exactly the bhqd attention, reshaped."""
+    B, H, Nq, Nk, D = 2, 4, 19, 31, 32
+    q = jnp.asarray(rng.standard_normal((B, Nq, H * D)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, Nk, H * D)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, Nk, H * D)), jnp.float32)
+    got = fa.fused_attention_mh(q, k, v, H)
+    qh = q.reshape(B, Nq, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Nk, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Nk, H, D).transpose(0, 2, 1, 3)
+    want = fa._xla_attention(qh, kh, vh).transpose(0, 2, 1, 3).reshape(B, Nq, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attention_mh_gradients_match_xla(rng):
+    B, H, Nq, Nk, D = 2, 4, 17, 23, 32
+    q = jnp.asarray(rng.standard_normal((B, Nq, H * D)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, Nk, H * D)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, Nk, H * D)), jnp.float32)
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fa.fused_attention_mh(*a, H) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_xla = jax.grad(
+        lambda *a: jnp.sum(fa._xla_attention_mh(*a, H) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mh_dispatch_gating():
+    """Unaligned head dims and oversized panels must fall back to XLA."""
+    q = jnp.zeros((2, 16, 96))  # 96 not a lane multiple
+    assert not fa._use_pallas_mh(q, 3, 16)
+    q = jnp.zeros((1, 16384, 512))  # score panel too large for the budget
+    assert not fa._use_pallas_mh(q, 8, 16384)
+
+
 def test_backend_switch(qkv):
     q, k, v = qkv
     fa.set_attention_backend("xla")
