@@ -72,3 +72,62 @@ def test_sample_driver_end_to_end(tiny_setup, tmp_path):
     assert len(plys) == 10
     partials = glob.glob(os.path.join(out_dir, "batch_0000", "partials", "*.ply"))
     assert len(partials) == 10
+
+
+def test_evaluate_pfid_cli_matches_torch_pipeline(tmp_path, monkeypatch, capsys):
+    """Stream two sharded npz batches through the P-FID CLI with a random
+    torch PointNet++ checkpoint and check the printed FID against the torch
+    reference pipeline (ref model forward + ref FID math) on the same data."""
+    import torch
+
+    from .reference_import import ref_module
+
+    ref_cls = ref_module("evals.pointnet2_cls_ssg")
+    ref_fid = ref_module("evals.fid_is")
+
+    torch.manual_seed(0)
+    ref_model = ref_cls.get_model(num_class=40, normal_channel=False, width_mult=2)
+    ref_model.eval()
+    for m in ref_model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.8, 1.2)
+    ckpt = str(tmp_path / "pointnet.pt")
+    torch.save({"model_state_dict": ref_model.state_dict()}, ckpt)
+
+    rng = np.random.default_rng(0)
+    n, p = 24, 64
+    batch1 = rng.standard_normal((n, p, 3)).astype(np.float32)
+    batch2 = (rng.standard_normal((n, p, 3)) * 1.2 + 0.1).astype(np.float32)
+    # batch 1 split over two shards to exercise the glob streaming path
+    np.savez(tmp_path / "a_000.npz", arr_0=batch1[: n // 2])
+    np.savez(tmp_path / "a_001.npz", arr_0=batch1[n // 2 :])
+    np.savez(tmp_path / "b_000.npz", arr_0=batch2)
+
+    from pcdiff.cli.evaluate_pfid import main as pfid_main
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["evaluate_pfid", str(tmp_path / "a_*.npz"), str(tmp_path / "b_000.npz"),
+         "--checkpoint", ckpt],
+    )
+    pfid_main()
+    printed = capsys.readouterr().out
+    got = float(printed.strip().splitlines()[-1].split("P-FID:")[1])
+
+    # torch reference pipeline on the same data: normalize
+    # (feature_extractor.py:114-119) -> eval-mode forward -> FID
+    def ref_feats(batch):
+        pc = batch - batch.mean(axis=1, keepdims=True)
+        pc = pc / np.sqrt((pc**2).sum(-1, keepdims=True)).max(axis=1, keepdims=True)
+        with torch.no_grad():
+            _, _, feats = ref_model(
+                torch.from_numpy(pc).permute(0, 2, 1), features=True
+            )
+        return feats.numpy()
+
+    want = ref_fid.compute_statistics(ref_feats(batch1)).frechet_distance(
+        ref_fid.compute_statistics(ref_feats(batch2))
+    )
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=2e-3)
