@@ -19,12 +19,18 @@ import numpy as np
 
 
 def fps_batch(points_list, n):
+    from ..geometry.fps_native import native_fps_indices
+
+    stacked_np = np.stack(points_list)
+    idx = native_fps_indices(stacked_np, n)
+    if idx is not None:
+        return np.take_along_axis(stacked_np, idx[..., None], axis=1)
+
     import jax.numpy as jnp
 
     from ..geometry.fps import fps
 
-    stacked = jnp.asarray(np.stack(points_list))
-    return np.asarray(fps(stacked, n, deterministic=True))
+    return np.asarray(fps(jnp.asarray(stacked_np), n, deterministic=True))
 
 
 def main():

@@ -27,7 +27,17 @@ SCANS_PER_INSTANCE = 26
 
 
 def _fps_downsample(points: np.ndarray, n: int, batch: int = 256) -> np.ndarray:
-    """FPS the whole [M, 2048, 3] array to [M, n, 3] on-device in chunks."""
+    """FPS the whole [M, 2048, 3] array to [M, n, 3]: native host kernel when
+    built (index-exact with the JAX kernel), else on-device in chunks."""
+    from ..geometry.fps_native import native_fps_indices
+
+    # starts mirror the chunked device path: element i of each chunk starts
+    # at index i, i.e. global element b starts at b % batch
+    starts = np.arange(len(points), dtype=np.int32) % batch
+    idx = native_fps_indices(points, n, starts=starts)
+    if idx is not None:
+        return np.take_along_axis(points, idx[..., None], axis=1)
+
     import jax.numpy as jnp
 
     from ..geometry.fps import fps

@@ -74,6 +74,82 @@ def test_sample_driver_end_to_end(tiny_setup, tmp_path):
     assert len(partials) == 10
 
 
+def test_sample_driver_ply_output_parity(tiny_setup, tmp_path):
+    """The PLY files a full sample run writes must decode to exactly the
+    samples the sampler computes for the same checkpoint/config/RNG stream
+    (pins checkpoint load -> sampling -> PLY encode end-to-end)."""
+    import jax.numpy as jnp
+
+    from pcdiff.core.config import apply_overrides
+    from pcdiff.cli.sample import load_params, main as sample_main
+    from pcdiff.cli.train import build_model
+    from pcdiff.data import BatchLoader, ModelNetCompletion
+    from pcdiff.diffusion import diffusion_from_betas
+    from pcdiff.diffusion.sampler import PointCloudSampler
+    from pcdiff.geometry import PointCloud
+    from pcdiff.models.wrapper import BoundTwoStream
+
+    cfg, ckpt_dir = tiny_setup
+    out_dir = str(tmp_path / "samples")
+    cfg = apply_overrides(cfg, [
+        f"sample.load_checkpoint_path={ckpt_dir}",
+        f"sample.output_dir={out_dir}",
+    ])
+    sample_main(cfg)
+
+    # reproduce the driver's exact RNG stream and sampler configuration
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, load_key = jax.random.split(key)
+    model = build_model(cfg)
+    variables = load_params(cfg, model, load_key)
+    bound = BoundTwoStream(model, variables)
+    diffusion = diffusion_from_betas(
+        cfg.diffusion.schedule, cfg.diffusion.timesteps,
+        model_mean_type=cfg.diffusion.gaussiandiffusion.model_mean_type,
+        model_var_type=cfg.diffusion.gaussiandiffusion.model_var_type,
+        loss_type=cfg.diffusion.gaussiandiffusion.loss_type,
+    )
+    sampler = PointCloudSampler(
+        models=[bound], diffusions=[diffusion],
+        num_points=[cfg.model.num_points], aux_channels=[],
+        guidance_scale=[cfg.sample.guidance_scale], clip_denoised=True,
+        use_karras=[cfg.sample.use_karras],
+        karras_steps=[cfg.sample.karras_steps],
+        sigma_min=[cfg.sample.sigma_min], sigma_max=[cfg.sample.sigma_max],
+        s_churn=[cfg.sample.s_churn],
+    )
+    dataset = ModelNetCompletion(cfg.data.h5_path, split="test")
+    loader = BatchLoader(dataset, cfg.sample.num_samples, shuffle=False,
+                         seed=cfg.train.seed, prefetch=1)
+    batch = next(iter(loader))
+    kwargs = dict(
+        class_labels=jnp.asarray(batch["class_labels"]),
+        viewpoints=jnp.asarray(batch["viewpoints"]),
+        partial_pcd=jnp.asarray(batch["partial_pcd"]),
+        depth_maps=jnp.asarray(batch["depth_maps"]),
+    )
+    key, sub = jax.random.split(key)
+    want = np.asarray(
+        sampler.sample_batch(len(batch["target"]), kwargs, sub)
+    ).astype(np.float32)
+
+    from pcdiff.geometry.ply import read_ply
+
+    for i in range(len(want)):
+        with open(os.path.join(out_dir, "batch_0000", "samples",
+                               f"sample_{i + 1}.ply"), "rb") as f:
+            fields = read_ply(f)
+        np.testing.assert_array_equal(fields["coords"], want[i])
+
+    # targets round-trip too (written from the dataset batch directly)
+    with open(os.path.join(out_dir, "batch_0000", "targets",
+                           "target_1.ply"), "rb") as f:
+        fields = read_ply(f)
+    np.testing.assert_array_equal(
+        fields["coords"], batch["target"][0].astype(np.float32)
+    )
+
+
 def test_evaluate_pfid_cli_matches_torch_pipeline(tmp_path, monkeypatch, capsys):
     """Stream two sharded npz batches through the P-FID CLI with a random
     torch PointNet++ checkpoint and check the printed FID against the torch

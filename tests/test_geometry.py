@@ -85,6 +85,27 @@ def test_fps_deterministic_matches_reference(clouds):
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_fps_matches_jax_kernel(rng):
+    """The C++ host FPS (native/fps.cpp) must be index-exact with the jitted
+    deterministic kernel, including non-trivial start indices."""
+    from pcdiff.geometry.fps_native import native_available, native_fps_indices
+
+    if not native_available():
+        pytest.skip("native/libfps.so not built (make -C native)")
+    pts = rng.standard_normal((5, 37, 3)).astype(np.float32)
+    got = native_fps_indices(pts, 8)
+    want = np.asarray(
+        farthest_point_sample(jnp.asarray(pts), 8, deterministic=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # chunk-style starts path used by the MVP precache
+    starts = np.arange(5, dtype=np.int32) % 2
+    got2 = native_fps_indices(pts, 8, starts=starts)
+    assert (got2[:, 0] == starts).all()
+    for row in got2:
+        assert len(np.unique(row)) == 8
+
+
 def test_fps_random_is_spread(clouds):
     a, _ = clouds
     out = fps(jnp.asarray(a), 8, key=jax.random.PRNGKey(0))
