@@ -93,16 +93,21 @@ class _CLIPAttention(nn.Module):
         H, Dh = self.heads, self.width // self.heads
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3) * (Dh**-0.5)
-        k = k.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        if mask is not None:
+        if mask is None:
+            # vision tower: unmasked -> fused multi-head kernel
+            from ..ops.flash_attention import fused_attention_mh
+
+            out = fused_attention_mh(q * (Dh**-0.5), k, v, H)
+        else:
+            q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3) * (Dh**-0.5)
+            k = k.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
             logits = logits + mask
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.width)
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -43,12 +43,15 @@ class MultiheadCrossAttention(nn.Module):
             name="c_kv",
         )(data).reshape(B, N_d, H, 2 * ch)
         k, v = jnp.split(kv, 2, axis=-1)
-        logits = jnp.einsum(
-            "bthc,bshc->bhts", q * scale, k * scale,
-            preferred_element_type=jnp.float32,
+        # fused multi-head kernel; split scaling folded into the query
+        from ..ops.flash_attention import fused_attention_mh
+
+        out = fused_attention_mh(
+            (q * (scale * scale)).reshape(B, N_q, self.width),
+            k.reshape(B, N_d, self.width),
+            v.reshape(B, N_d, self.width),
+            H,
         )
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(B, N_q, self.width)
         return nn.Dense(
             self.width, dtype=self.dtype, kernel_init=_init(self.init_scale),
             name="c_proj",

@@ -72,12 +72,16 @@ class PointEAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, N, H, 3 * ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        logits = jnp.einsum(
-            "bthc,bshc->bhts", q * scale, k * scale,
-            preferred_element_type=jnp.float32,
+        # fused multi-head kernel in [B, N, H*D] layout; the reference's
+        # split scaling (q*s)(k*s) folds into the query as q*s^2
+        from ..ops.flash_attention import fused_attention_mh
+
+        out = fused_attention_mh(
+            (q * (scale * scale)).reshape(B, N, self.width),
+            k.reshape(B, N, self.width),
+            v.reshape(B, N, self.width),
+            H,
         )
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(B, N, self.width)
         return nn.Dense(
             self.width, dtype=self.dtype, kernel_init=_init(self.init_scale),
             name="c_proj",

@@ -35,7 +35,11 @@ __all__ = ["ComputeBlock", "ReadBlock", "WriteBlock", "RCWBlock", "DenoiserBackb
 
 
 class ComputeBlock(nn.Module):
-    """Latent self-attention + MLP (reference ``Compute_Block``)."""
+    """Latent self-attention + MLP (reference ``Compute_Block``).
+
+    ``attention_fn`` selects the implementation — the hook for head-parallel
+    tensor parallelism (:func:`pcdiff.parallel.xsp.sharded_head_attention`).
+    """
 
     z_dim: int
     num_heads: int = 16
@@ -44,6 +48,7 @@ class ComputeBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -51,7 +56,7 @@ class ComputeBlock(nn.Module):
         z = z + CrossAttention(
             self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            name="attn",
+            attention_fn=self.attention_fn, name="attn",
         )(zn, zn, deterministic=deterministic)
         z = z + Mlp(
             int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
@@ -143,6 +148,7 @@ class RCWBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     read_attention_fn: AttentionFn = staticmethod(dot_product_attention)
     write_attention_fn: AttentionFn = staticmethod(dot_product_attention)
+    compute_attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -158,9 +164,10 @@ class RCWBlock(nn.Module):
             **common,
         )(z, x, deterministic)
         for i in range(self.num_compute_layers):
-            z = ComputeBlock(self.z_dim, name=f"compute_{i}", **common)(
-                z, deterministic
-            )
+            z = ComputeBlock(
+                self.z_dim, name=f"compute_{i}",
+                attention_fn=self.compute_attention_fn, **common,
+            )(z, deterministic)
         x = WriteBlock(
             self.x_dim, name="write", attention_fn=self.write_attention_fn,
             **common,
@@ -193,6 +200,7 @@ class DenoiserBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     read_attention_fn: AttentionFn = staticmethod(dot_product_attention)
     write_attention_fn: AttentionFn = staticmethod(dot_product_attention)
+    compute_attention_fn: AttentionFn = staticmethod(dot_product_attention)
 
     @nn.compact
     def __call__(
@@ -257,6 +265,7 @@ class DenoiserBackbone(nn.Module):
                 dtype=self.dtype,
                 read_attention_fn=self.read_attention_fn,
                 write_attention_fn=self.write_attention_fn,
+                compute_attention_fn=self.compute_attention_fn,
                 name=f"block_{i}",
             )(z, x, deterministic)
 

@@ -69,10 +69,12 @@ class TwoStreamDenoiser(nn.Module):
     depth_patch: int = 32
     active_modalities: Sequence[str] = ("class", "view", "partial_pcd", "depth")
     dtype: jnp.dtype = jnp.float32
-    # x-stream sequence parallelism hooks (pcdiff.parallel.xsp): selectable
-    # attention implementations for the read/write interface attentions
+    # parallelism hooks (pcdiff.parallel.xsp): selectable attention
+    # implementations for the read/write interface attentions (x-stream
+    # sequence parallelism) and the latent compute attentions (head TP)
     read_attention_fn: Any = None
     write_attention_fn: Any = None
+    compute_attention_fn: Any = None
 
     def setup(self):
         backbone_kwargs = {}
@@ -80,6 +82,8 @@ class TwoStreamDenoiser(nn.Module):
             backbone_kwargs["read_attention_fn"] = self.read_attention_fn
         if self.write_attention_fn is not None:
             backbone_kwargs["write_attention_fn"] = self.write_attention_fn
+        if self.compute_attention_fn is not None:
+            backbone_kwargs["compute_attention_fn"] = self.compute_attention_fn
         self.backbone = DenoiserBackbone(
             input_channels=self.input_channels,
             output_channels=self.output_channels,

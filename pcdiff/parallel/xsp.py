@@ -27,7 +27,11 @@ from jax.experimental.shard_map import shard_map
 
 from .mesh import MODEL_AXIS
 
-__all__ = ["sharded_read_attention", "sharded_write_attention"]
+__all__ = [
+    "sharded_read_attention",
+    "sharded_write_attention",
+    "sharded_head_attention",
+]
 
 
 def _local_attention(q, k, v):
@@ -71,6 +75,34 @@ def sharded_read_attention(
         mesh=mesh,
         in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None)),
         out_specs=P(),
+        check_rep=False,
+    )(q, k, v)
+
+
+def sharded_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+) -> jnp.ndarray:
+    """Tensor-parallel attention: HEADS sharded over ``axis``, tokens
+    replicated. Each device computes its head group's attention fully
+    locally — zero collectives (the all-reduce happens later in the output
+    projection, inserted by GSPMD). The natural strategy for the z-stream
+    compute blocks, whose quadratic cost lives on few tokens but many heads.
+
+    q, k, v: [B, H, N, D] with H sharded over ``axis``; q pre-scaled.
+    """
+    return shard_map(
+        _local_attention,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None, None),
+            P(None, axis, None, None),
+            P(None, axis, None, None),
+        ),
+        out_specs=P(None, axis, None, None),
         check_rep=False,
     )(q, k, v)
 

@@ -54,6 +54,41 @@ def test_sharded_backbone_matches_dense():
     )
 
 
+def test_head_parallel_compute_matches_dense():
+    """Head tensor parallelism on the z-stream compute attentions (plus xsp
+    on read/write) must reproduce the dense backbone exactly."""
+    from pcdiff.parallel.xsp import sharded_head_attention
+
+    mesh = make_mesh(data_parallel=2, model_parallel=4)
+    dense = DenoiserBackbone(
+        num_x=NUM_X, num_z=NUM_Z, z_dim=DIM, x_dim=DIM, num_blocks=2,
+        num_compute_layers=2, num_heads=4,
+    )
+    sharded = DenoiserBackbone(
+        num_x=NUM_X, num_z=NUM_Z, z_dim=DIM, x_dim=DIM, num_blocks=2,
+        num_compute_layers=2, num_heads=4,
+        read_attention_fn=partial(sharded_read_attention, mesh=mesh),
+        write_attention_fn=partial(sharded_write_attention, mesh=mesh),
+        compute_attention_fn=partial(sharded_head_attention, mesh=mesh),
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, NUM_X, 3)), dtype=jnp.float32)
+    t = jnp.asarray([3, 70])
+    cond = jnp.asarray(rng.standard_normal((B, 6, DIM)), dtype=jnp.float32)
+    params = dense.init(jax.random.PRNGKey(0), x, t, cond)
+
+    out_dense, z_dense = dense.apply(params, x, t, cond)
+    out_sh, z_sh = jax.jit(
+        lambda p, x, t, c: sharded.apply(p, x, t, c)
+    )(params, x, t, cond)
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_dense), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_sh), np.asarray(z_dense), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_sharded_backbone_gradients_finite():
     """The sharded path must be differentiable (psum/pmax transpose)."""
     mesh = make_mesh(data_parallel=1, model_parallel=8)
