@@ -36,11 +36,19 @@ def main():
     NUM_POINTS = 1024
     STEPS = 64
 
+    # PCDIFF_BENCH_DTYPE=bfloat16 measures the bf16-activations lever
+    # (quality-gated by scripts/bf16_experiment.py); default is the fp32
+    # parity configuration the recorded baselines use.
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("PCDIFF_BENCH_DTYPE") == "bfloat16"
+        else jnp.float32
+    )
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
         num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
-        depth_patch=32,
+        depth_patch=32, dtype=dtype,
     )
     rng = np.random.default_rng(_entropy_seed())
     batch = dict(

@@ -25,6 +25,7 @@ from ..diffusion import diffusion_from_betas
 from ..diffusion.sampler import PointCloudSampler
 from ..evals import CompletionMetrics
 from ..models.wrapper import BoundTwoStream
+from ..ops import attention_backend
 from .sample import load_params
 from .train import build_model
 
@@ -33,14 +34,26 @@ logger = logging.getLogger("pcdiff.evaluate")
 
 def main(cfg: Config) -> dict:
     timestamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s [%(levelname)s] %(message)s",
-        handlers=[
-            logging.StreamHandler(),
-            logging.FileHandler(f"evaluation_log_{timestamp}.txt"),
-        ],
-        force=True,  # reconfigure even if logging was already set up
+    # Dual file+stream logger scoped to this module (the reference's
+    # evaluation.py:19-31 pattern) — NOT the root logger, so third-party
+    # INFO noise (orbax, jax) stays out of the committed evaluation logs.
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
+    logger.handlers.clear()
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    for handler in (
+        logging.StreamHandler(),
+        logging.FileHandler(f"evaluation_log_{timestamp}.txt"),
+    ):
+        handler.setFormatter(fmt)
+        logger.addHandler(handler)
+    logger.info(
+        "evaluate: checkpoint=%s data=%s points=%d karras_steps=%d "
+        "guidance=%.2f batch=%d attention_backend=%s",
+        cfg.sample.load_checkpoint_path, cfg.data.h5_path,
+        cfg.model.num_points, cfg.sample.karras_steps,
+        cfg.sample.guidance_scale, cfg.sample.num_samples,
+        attention_backend(),
     )
     key = jax.random.PRNGKey(cfg.train.seed)
     model = build_model(cfg)

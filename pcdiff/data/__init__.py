@@ -6,6 +6,7 @@ from .modelnet import (
     TRAIN_SKIP_INSTANCES,
     ModelNetCompletion,
     build_viewpoint_table,
+    export_instance_ground_truths,
 )
 from .multimodal import SHAPENET_LABEL_DICT, MultiModalCompletion
 from .mvp import MVP_LABEL_DICT, MVPCompletion
@@ -23,6 +24,7 @@ __all__ = [
     "build_viewpoint_table",
     "DEFAULT_SKIP_CLASSES",
     "TRAIN_SKIP_INSTANCES",
+    "export_instance_ground_truths",
     "MultiModalCompletion",
     "SHAPENET_LABEL_DICT",
     "MVPCompletion",

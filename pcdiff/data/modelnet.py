@@ -30,6 +30,7 @@ __all__ = [
     "DEFAULT_SKIP_CLASSES",
     "TRAIN_SKIP_INSTANCES",
     "build_viewpoint_table",
+    "export_instance_ground_truths",
 ]
 
 DEFAULT_SKIP_CLASSES = ("dresser", "table", "desk", "bed", "chair")
@@ -165,3 +166,44 @@ class ModelNetCompletion:
         if self._h5 is not None:
             self._h5.close()
             self._h5 = None
+
+
+def export_instance_ground_truths(
+    h5_path: str,
+    skip_classes: Sequence[str] = DEFAULT_SKIP_CLASSES,
+    npz_output: str = "modelnet_filtered_instances.npz",
+    labels_output: str = "modelnet_filtered_labels.npz",
+) -> Dict[str, np.ndarray]:
+    """Export one normalized ground-truth cloud per kept instance.
+
+    Builds the reference batch for distribution metrics (P-FID/P-IS): the
+    reference's ``save_instance_ground_truths``
+    (``/root/reference/dataset/modelnet_dataloader.py:517-560``) — classes
+    outside ``skip_classes`` relabeled 0..K-1 in sorted order, ground truth
+    scaled by 0.01 and clamped to +-0.5, point order left untouched.
+    Labels are saved as npz (the reference used ``torch.save``; a plain
+    integer array needs no torch dependency).
+    """
+    import h5py
+
+    all_gt: List[np.ndarray] = []
+    all_labels: List[int] = []
+    with h5py.File(h5_path, "r") as f:
+        names = sorted(n for n in f.keys() if n not in skip_classes)
+        class_to_label = {cls: i for i, cls in enumerate(names)}
+        for class_name in f.keys():
+            if class_name in skip_classes:
+                continue
+            for instance_id in f[class_name].keys():
+                gt = np.asarray(
+                    f[class_name][instance_id]["ground_truth"][()],
+                    dtype=np.float32,
+                )
+                all_gt.append(np.clip(gt * 0.01, -0.5, 0.5))
+                all_labels.append(class_to_label[class_name])
+
+    ground_truths = np.stack(all_gt)
+    labels = np.asarray(all_labels, dtype=np.int64)
+    np.savez_compressed(npz_output, ground_truths=ground_truths)
+    np.savez_compressed(labels_output, labels=labels)
+    return {"ground_truths": ground_truths, "labels": labels}

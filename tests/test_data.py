@@ -146,3 +146,34 @@ def test_config_yaml_roundtrip(tmp_path):
     save_config(cfg, p)
     back = load_config(p)
     assert back == cfg
+
+
+def test_export_instance_ground_truths_matches_reference(fixture_h5, tmp_path):
+    """Golden vs /root/reference/dataset/modelnet_dataloader.py:517-560."""
+    import torch
+
+    from pcdiff.data import export_instance_ground_truths
+
+    ref_ds = ref_module("dataset.modelnet_dataloader")
+    skip = ["bench"]  # fixture classes: airplane, bench, bottle, car, monitor
+
+    ours = export_instance_ground_truths(
+        fixture_h5, skip_classes=skip,
+        npz_output=str(tmp_path / "gt.npz"),
+        labels_output=str(tmp_path / "labels.npz"),
+    )
+
+    ref_npz = str(tmp_path / "ref_gt.npz")
+    ref_pt = str(tmp_path / "ref_labels.pt")
+    ref_ds.save_instance_ground_truths(
+        fixture_h5, skip_classes=skip, npz_output=ref_npz, pt_output=ref_pt
+    )
+    ref_gt = np.load(ref_npz)["ground_truths"]
+    ref_labels = torch.load(ref_pt, weights_only=False).numpy()
+
+    np.testing.assert_allclose(ours["ground_truths"], ref_gt, rtol=0, atol=0)
+    np.testing.assert_array_equal(ours["labels"], ref_labels)
+
+    saved = np.load(str(tmp_path / "gt.npz"))["ground_truths"]
+    np.testing.assert_array_equal(saved, ours["ground_truths"])
+    assert np.load(str(tmp_path / "labels.npz"))["labels"].dtype == np.int64
