@@ -15,6 +15,7 @@ from .synthetic import (
     make_modelnet_fixture,
     make_multimodal_fixture,
     make_mvp_fixture,
+    make_shapes_fixture,
     synthetic_batch,
 )
 
@@ -31,6 +32,7 @@ __all__ = [
     "MVP_LABEL_DICT",
     "synthetic_batch",
     "make_modelnet_fixture",
+    "make_shapes_fixture",
     "make_mvp_fixture",
     "make_multimodal_fixture",
     "SYNTHETIC_CLASSES",

@@ -177,3 +177,49 @@ def test_export_instance_ground_truths_matches_reference(fixture_h5, tmp_path):
     saved = np.load(str(tmp_path / "gt.npz"))["ground_truths"]
     np.testing.assert_array_equal(saved, ours["ground_truths"])
     assert np.load(str(tmp_path / "labels.npz"))["labels"].dtype == np.int64
+
+
+def test_shapes_fixture_schema_and_learnability(tmp_path):
+    """The geometric fixture loads through ModelNetCompletion, partials are
+    view-dependent subsets of the shape, and different seeds draw different
+    instances (the held-out-split property)."""
+    from pcdiff.data import make_shapes_fixture
+
+    p0 = make_shapes_fixture(
+        str(tmp_path / "a.h5"), instances_per_class=2, scans_per_instance=2,
+        num_points=128, depth_size=32, seed=0,
+    )
+    ds = ModelNetCompletion(p0, split="test")
+    assert len(ds) == 5 * 2 * 2
+    item = ds[0]
+    assert item["partial_pcd"].shape == (128, 3)
+    assert item["target"].shape == (128, 3)
+    assert item["depth_maps"].shape == (32, 32, 1)
+    assert np.all(np.abs(item["target"]) <= 0.5)
+    assert np.all(item["depth_maps"] >= 0) and np.all(item["depth_maps"] <= 1)
+    # partial points lie on the shape: each has an exact match in the raw gt
+    import h5py
+
+    with h5py.File(p0, "r") as f:
+        cls = sorted(f.keys())[0]
+        inst = sorted(f[cls].keys())[0]
+        gt = f[cls][inst]["ground_truth"][()] / 100.0
+        scan = sorted(f[cls][inst]["partials"].keys())[0]
+        partial = f[cls][inst]["partials"][scan]["pointcloud"][()]
+    d = np.linalg.norm(partial[:, None] - gt[None], axis=-1).min(axis=1)
+    assert d.max() < 1e-5
+    # ...but not all of it (view-dependent crop drops the far side)
+    assert len(np.unique(partial, axis=0)) < len(gt)
+
+    # disjoint instances across seeds
+    p1 = make_shapes_fixture(
+        str(tmp_path / "b.h5"), instances_per_class=2, scans_per_instance=2,
+        num_points=128, depth_size=32, seed=9,
+    )
+    with h5py.File(p0, "r") as f0, h5py.File(p1, "r") as f1:
+        gt0 = f0["car"][sorted(f0["car"].keys())[0]]["ground_truth"][()]
+        gt1 = f1["car"][sorted(f1["car"].keys())[0]]["ground_truth"][()]
+        names0 = set(f0["car"].keys())
+        names1 = set(f1["car"].keys())
+    assert not np.allclose(gt0, gt1)
+    assert names0.isdisjoint(names1)
