@@ -16,6 +16,7 @@ from .karras import (
     sample_heun,
     sigma_to_t,
 )
+from .parallel import sample_heun_parallel
 from .schedules import betas_for_alpha_bar, get_named_beta_schedule, space_timesteps
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "get_sigmas_karras",
     "karras_sample",
     "sample_heun",
+    "sample_heun_parallel",
     "sample_dpm",
     "sample_euler_ancestral",
     "sigma_to_t",

@@ -390,6 +390,7 @@ def karras_sample(
     guidance_scale: float = 0.0,
     init_state: Any = None,
     progressive: bool = False,
+    parallel_options: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """End-to-end Karras sampling (reference ``karras_sample_progressive``,
     ``k_diffusion.py:118-222``) as a single jittable program.
@@ -421,10 +422,22 @@ def karras_sample(
     else:
         denoise = base_denoise
 
-    kwargs = dict(state=init_state, progressive=progressive)
-    if sampler != "ancestral":
-        kwargs.update(s_churn=s_churn, s_tmin=s_tmin, s_tmax=s_tmax, s_noise=s_noise)
-    out = _SAMPLERS[sampler](denoise, x_T, sigmas, key, **kwargs)
+    if sampler == "heun_parallel":
+        from .parallel import sample_heun_parallel
+
+        if progressive:
+            raise NotImplementedError("heun_parallel has no progressive mode")
+        out = sample_heun_parallel(
+            denoise, x_T, sigmas, key, state=init_state, s_churn=s_churn,
+            **(parallel_options or {}),
+        )
+    else:
+        kwargs = dict(state=init_state, progressive=progressive)
+        if sampler != "ancestral":
+            kwargs.update(
+                s_churn=s_churn, s_tmin=s_tmin, s_tmax=s_tmax, s_noise=s_noise
+            )
+        out = _SAMPLERS[sampler](denoise, x_T, sigmas, key, **kwargs)
 
     if isinstance(diffusion, GaussianDiffusion):
         out["x"] = diffusion.unscale_channels(out["x"])

@@ -40,6 +40,7 @@ from .karras import (
     sample_euler_ancestral,
     sample_heun,
 )
+from .parallel import sample_heun_parallel
 
 __all__ = ["PointCloudSampler"]
 
@@ -83,6 +84,7 @@ class PointCloudSampler:
         sigma_max: Union[float, Sequence[float]] = (120, 160),
         s_churn: Union[float, Sequence[float]] = (3, 0),
         sampler: str = "heun",
+        parallel_options: Optional[Dict[str, Any]] = None,
     ):
         n = len(models)
         assert n > 0 and len(diffusions) == n
@@ -100,6 +102,7 @@ class PointCloudSampler:
         kf = list(model_kwargs_key_filter) or ["*"] * n
         self.model_kwargs_key_filter = _broadcast(kf, n, "model_kwargs_key_filter")
         self.sampler = sampler
+        self.parallel_options = dict(parallel_options or {})
 
     @property
     def num_stages(self) -> int:
@@ -164,10 +167,14 @@ class PointCloudSampler:
         key, init_key = jax.random.split(key)
         x_T = jax.random.normal(init_key, shape) * self.sigma_max[stage]
         fn = {"heun": sample_heun, "dpm": sample_dpm,
-              "ancestral": sample_euler_ancestral}[self.sampler]
-        extra = (
-            {} if self.sampler == "ancestral" else {"s_churn": self.s_churn[stage]}
-        )
+              "ancestral": sample_euler_ancestral,
+              "heun_parallel": sample_heun_parallel}[self.sampler]
+        if self.sampler == "ancestral":
+            extra = {}
+        elif self.sampler == "heun_parallel":
+            extra = {"s_churn": self.s_churn[stage], **self.parallel_options}
+        else:
+            extra = {"s_churn": self.s_churn[stage]}
         out = fn(denoise, x_T, sigmas, key, state=init_state, **extra)
         return diffusion.unscale_channels(out["pred_xstart"])
 

@@ -40,7 +40,7 @@ def _rename_newest_log(stable_name: str, before: set) -> None:
 def _make_fixtures() -> None:
     from pcdiff.data import make_shapes_fixture
 
-    make_shapes_fixture(TRAIN_H5, instances_per_class=8, seed=0)
+    make_shapes_fixture(TRAIN_H5, instances_per_class=32, seed=0)
     make_shapes_fixture(TEST_H5, instances_per_class=4, seed=9)
     print(f"wrote {TRAIN_H5}, {TEST_H5}")
 
