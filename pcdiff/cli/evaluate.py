@@ -75,6 +75,9 @@ def main(cfg: Config) -> dict:
         karras_steps=[cfg.sample.karras_steps],
         sigma_min=[cfg.sample.sigma_min], sigma_max=[cfg.sample.sigma_max],
         s_churn=[cfg.sample.s_churn],
+        sampler=cfg.sample.sampler,
+        parallel_options=dict(window=cfg.sample.parallel_window,
+                              tol=cfg.sample.parallel_tol),
     )
 
     dataset = ModelNetCompletion(cfg.data.h5_path, split="test")

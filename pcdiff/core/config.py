@@ -115,6 +115,11 @@ class SampleConfig:
     sigma_min: float = 1e-3
     sigma_max: float = 120.0
     s_churn: float = 0.0
+    # ODE solver: heun | dpm | ancestral | heun_parallel (Picard
+    # parallel-in-time; window/tol below apply to it only)
+    sampler: str = "heun"
+    parallel_window: int = 8
+    parallel_tol: float = 1e-3
 
 
 @dataclass(frozen=True)

@@ -74,6 +74,25 @@ def test_sample_driver_end_to_end(tiny_setup, tmp_path):
     assert len(partials) == 10
 
 
+def test_sample_driver_heun_parallel(tiny_setup, tmp_path):
+    """sample.sampler=heun_parallel reaches the Picard solver from the CLI
+    config surface and writes the same file layout."""
+    cfg, ckpt_dir = tiny_setup
+    from pcdiff.core.config import apply_overrides
+    from pcdiff.cli.sample import main as sample_main
+
+    out_dir = str(tmp_path / "samples_par")
+    cfg = apply_overrides(cfg, [
+        f"sample.load_checkpoint_path={ckpt_dir}",
+        f"sample.output_dir={out_dir}",
+        "sample.sampler=heun_parallel",
+        "sample.parallel_window=2", "sample.parallel_tol=0.001",
+    ])
+    sample_main(cfg)
+    plys = glob.glob(os.path.join(out_dir, "batch_0000", "samples", "*.ply"))
+    assert len(plys) == 10
+
+
 def test_sample_driver_ply_output_parity(tiny_setup, tmp_path):
     """The PLY files a full sample run writes must decode to exactly the
     samples the sampler computes for the same checkpoint/config/RNG stream
