@@ -88,7 +88,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(jax.random.fold_in(base_key, i + 1))
-        out.block_until_ready()
+        # block_until_ready does NOT wait under the axon tunnel; a host
+        # fetch is the only reliable completion barrier (CLAUDE.md).
+        float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / iters
 
     clouds_per_sec = B / dt
