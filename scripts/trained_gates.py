@@ -1,0 +1,75 @@
+"""Quality-gate every sampling-throughput lever on a TRAINED checkpoint.
+
+VERDICT round-1 Weak #4: perf levers that change sampler numerics (fewer
+Karras steps, bf16 activations, Picard-parallel tolerance) cannot be
+validated without trained weights. This script evaluates one trained run
+directory against held-out data under each lever and writes
+docs/trained_gates.json:
+
+  - steps-N     : sample.karras_steps=N (N in 48/32/24/16; 64 = baseline
+                  from docs/shapes_evidence.json "trained_heldout")
+  - bf16        : model.compute_dtype=bfloat16 at 64 steps
+  - picard-tol  : sampler=heun_parallel, window 8, tol in {1e-3, 1e-2}
+
+Usage: python scripts/trained_gates.py <run_dir> [config.yaml] [test_h5]
+  defaults: configs/synthetic_shapes.yaml, /tmp/pcdiff_shapes_test.h5
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATES = [
+    ("steps-48", ["sample.karras_steps=48"]),
+    ("steps-32", ["sample.karras_steps=32"]),
+    ("steps-24", ["sample.karras_steps=24"]),
+    ("steps-16", ["sample.karras_steps=16"]),
+    ("bf16", ["model.compute_dtype=bfloat16"]),
+    ("picard-1e-3", ["sample.sampler=heun_parallel",
+                     "sample.parallel_window=8", "sample.parallel_tol=1e-3"]),
+    ("picard-1e-2", ["sample.sampler=heun_parallel",
+                     "sample.parallel_window=8", "sample.parallel_tol=1e-2"]),
+]
+
+
+def main(run_dir: str, config_path: str, test_h5: str) -> None:
+    from pcdiff.core.config import apply_overrides, load_config
+    from pcdiff.cli.evaluate import main as eval_main
+
+    base = load_config(config_path, [])
+    ckpt = os.path.join(run_dir, "checkpoints")
+    logs_before = set(glob.glob("evaluation_log_*.txt"))
+    results = {}
+    for name, overrides in GATES:
+        cfg = apply_overrides(base, [
+            f"data.h5_path={test_h5}",
+            f"sample.load_checkpoint_path={ckpt}",
+            *overrides,
+        ])
+        print(f"=== {name} ===", flush=True)
+        out = eval_main(cfg)
+        o = out["overall"]
+        results[name] = {"cd_full": o["cd_full"], "f1_full": o["f1_full"],
+                         "overrides": overrides}
+        print(f"{name}: cd={o['cd_full']:.6f} f1={o['f1_full']:.6f}",
+              flush=True)
+
+    for log in set(glob.glob("evaluation_log_*.txt")) - logs_before:
+        os.remove(log)  # per-gate logs are scratch; the json is the record
+    dest = os.path.join(REPO, "docs", "trained_gates.json")
+    with open(dest, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    run = sys.argv[1]
+    cfg_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "configs", "synthetic_shapes.yaml")
+    h5 = sys.argv[3] if len(sys.argv) > 3 else "/tmp/pcdiff_shapes_test.h5"
+    main(run, cfg_path, h5)
