@@ -30,10 +30,11 @@ GATES = [
     ("steps-24", ["sample.karras_steps=24"]),
     ("steps-16", ["sample.karras_steps=16"]),
     ("bf16", ["model.compute_dtype=bfloat16"]),
+    # NB decimal literals: pyyaml's 1.1 resolver reads bare "1e-3" as a str
     ("picard-1e-3", ["sample.sampler=heun_parallel",
-                     "sample.parallel_window=8", "sample.parallel_tol=1e-3"]),
+                     "sample.parallel_window=8", "sample.parallel_tol=0.001"]),
     ("picard-1e-2", ["sample.sampler=heun_parallel",
-                     "sample.parallel_window=8", "sample.parallel_tol=1e-2"]),
+                     "sample.parallel_window=8", "sample.parallel_tol=0.01"]),
 ]
 
 
