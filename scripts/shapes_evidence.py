@@ -22,6 +22,7 @@ Usage: python scripts/shapes_evidence.py [run_dir]
 import glob
 import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -101,6 +102,7 @@ def main(run_dir: str | None = None) -> None:
     params = init_params(model, cfg, jax.random.PRNGKey(123))
     state = create_train_state(model, params, lr=1e-4, total_steps=1)
     fresh_dir = "/tmp/pcdiff_shapes_fresh"
+    shutil.rmtree(fresh_dir, ignore_errors=True)  # stale trees don't restore
     save_checkpoint(fresh_dir, 0, jax.device_get(state))
     cfg_fresh = apply_overrides(
         cfg, eval_overrides + [f"sample.load_checkpoint_path={fresh_dir}"]
