@@ -174,6 +174,65 @@ def test_point_cloud_sampler_heun_parallel_matches_heun():
     np.testing.assert_allclose(np.asarray(par), np.asarray(ref), atol=1e-3)
 
 
+def test_composed_picard_x_sequence_parallel():
+    """Both parallelisms at once on a 2D (data x model) mesh: Picard step
+    windows sharded over `data` while the denoiser's read/write attentions
+    run sequence-parallel over `model` (shard_map inside the vmapped window
+    inside the while_loop). Must match the dense sequential solve."""
+    from functools import partial
+
+    from pcdiff.diffusion import diffusion_from_betas
+    from pcdiff.diffusion.sampler import PointCloudSampler
+    from pcdiff.models import TwoStreamDenoiser
+    from pcdiff.models.wrapper import BoundTwoStream
+    from pcdiff.parallel.xsp import (
+        sharded_read_attention,
+        sharded_write_attention,
+    )
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    cfg = dict(
+        num_points=32, num_latents=8, latent_dim=16, x_dim=16, num_blocks=1,
+        num_compute_layers=1, num_heads=2, num_classes=3, num_tokens_ppcd=2,
+        num_tokens_depth=2, depth_image_size=32, depth_patch=16,
+    )
+    dense = TwoStreamDenoiser(**cfg)
+    sp = TwoStreamDenoiser(
+        **cfg,
+        read_attention_fn=partial(sharded_read_attention, mesh=mesh),
+        write_attention_fn=partial(sharded_write_attention, mesh=mesh),
+    )
+    Bc = 2
+    rng = np.random.default_rng(0)
+    batch = dict(
+        class_labels=jnp.zeros((Bc,), jnp.int32),
+        viewpoints=jnp.asarray(rng.standard_normal((Bc, 3)), jnp.float32),
+        partial_pcd=jnp.asarray(rng.standard_normal((Bc, 32, 3)), jnp.float32),
+        depth_maps=jnp.asarray(rng.random((Bc, 32, 32, 1)), jnp.float32),
+    )
+    params = dense.init(jax.random.PRNGKey(0), jnp.zeros((Bc, 32, 3)),
+                        jnp.zeros((Bc,), jnp.int32), **batch)
+    diffusion = diffusion_from_betas("linear", 100)
+
+    def make(model, sampler, **opts):
+        return PointCloudSampler(
+            models=[BoundTwoStream(model, params)], diffusions=[diffusion],
+            num_points=[32], aux_channels=[], guidance_scale=[3.0],
+            use_karras=[True], karras_steps=[6], sigma_min=[1e-3],
+            sigma_max=[40.0], s_churn=[0.0], sampler=sampler, **opts,
+        )
+
+    key = jax.random.PRNGKey(5)
+    ref = np.asarray(make(dense, "heun").sample_batch(Bc, batch, key))
+    with mesh:
+        comp = jax.jit(lambda k: make(
+            sp, "heun_parallel",
+            parallel_options=dict(window=4, tol=1e-3,
+                                  window_spec=P("data"), mesh=mesh),
+        ).sample_batch(Bc, batch, k))(key)
+    np.testing.assert_allclose(np.asarray(comp), ref, atol=1e-3)
+
+
 def test_churn_rejected():
     sigmas = get_sigmas_karras(STEPS, 1e-3, 40.0)
     x_T = _x_T(jax.random.PRNGKey(10), 40.0)
