@@ -267,13 +267,101 @@ def fused_attention_mh(
     return _xla_attention_mh(q, k, v, num_heads)
 
 
+def _mh_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                   num_heads: int, mxu_dtype):
+    """One batch row of the attention backward, score panels only in VMEM.
+
+    Recomputes the forward softmax per head (flash-attention-style: cheaper
+    than storing [B, Nq, Nk] probabilities to HBM) and forms
+    dv = P^T g, ds = P (dp - rowsum(dp P)), dq = ds K, dk = ds^T Q with the
+    same bf16-operand / fp32-accumulate MXU arithmetic as the forward.
+    """
+    hd = q_ref.shape[-1]
+    d = hd // num_heads
+    q = q_ref[0].astype(mxu_dtype)  # [NQ, H*D]
+    k = k_ref[0].astype(mxu_dtype)  # [NK, H*D]
+    v = v_ref[0].astype(mxu_dtype)
+    g = g_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [NQ, NK] fp32
+        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        P = p * pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+        gh = g[:, sl].astype(mxu_dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            P.astype(mxu_dtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)  # [NK, D]
+        dp = jax.lax.dot_general(
+            gh, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [NQ, NK]
+        ds = P * (dp - jnp.sum(dp * P, axis=-1, keepdims=True))
+        ds = ds.astype(mxu_dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _mh_bwd_vmem_bytes(nq: int, nk: int, hd: int, itemsize: int) -> int:
+    # double-buffered in (q, g: nq; k, v: nk) + out (dq: nq; dk, dv: nk)
+    blocks = 2 * (3 * nq + 4 * nk) * hd * itemsize
+    scores = nq * _round_up(nk, 128) * 4  # s/p/P/dp/ds panels (fp32)
+    return blocks + 4 * scores
+
+
+def _use_pallas_mh_bwd(q, num_heads: int, nk: int) -> bool:
+    if not _use_pallas_mh(q, num_heads, nk):
+        return False
+    return _mh_bwd_vmem_bytes(
+        q.shape[1], nk, q.shape[-1], q.dtype.itemsize
+    ) <= _MH_VMEM_BUDGET
+
+
+def _pallas_attention_mh_bwd(q, k, v, g, num_heads: int,
+                             mxu_dtype=jnp.bfloat16):
+    B, nq, hd = q.shape
+    nk = k.shape[1]
+    spec_q = pl.BlockSpec((1, nq, hd), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, nk, hd), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mh_bwd_kernel, num_heads=num_heads,
+                          mxu_dtype=mxu_dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nq, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, nk, hd), k.dtype),
+            jax.ShapeDtypeStruct((B, nk, hd), v.dtype),
+        ),
+        grid=(B,),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_MH_VMEM_BUDGET,
+        ),
+    )(q, k, v, g)
+
+
 def _mh_fwd(q, k, v, num_heads):
     return fused_attention_mh(q, k, v, num_heads), (q, k, v)
 
 
 def _mh_bwd(num_heads, res, g):
-    """Exact backward via recomputation with standard XLA ops."""
+    """Exact backward via recomputation: Pallas in-VMEM kernel when the
+    shapes fit (training hot path), XLA einsums otherwise."""
     q, k, v = res
+    if _use_pallas_mh_bwd(q, num_heads, k.shape[1]):
+        return _pallas_attention_mh_bwd(q, k, v, g, num_heads)
     qh = _split_heads(q, num_heads)
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)

@@ -115,3 +115,49 @@ def test_backend_switch(qkv):
     finally:
         fa.set_attention_backend("auto")
     assert fa.attention_backend() == "auto"
+
+
+@pytest.mark.parametrize(
+    "nq,nk,heads,hd",
+    [(643, 1024, 8, 256), (37, 53, 4, 128), (129, 257, 2, 256)],
+)
+def test_pallas_mh_bwd_kernel_matches_xla_interpret(rng, nq, nk, heads, hd):
+    """The in-VMEM backward kernel == the XLA einsum backward (fp32 MXU in
+    interpret mode for an exact-tolerance check)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = 2
+    q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.float32)
+    # reference: the XLA einsum path (computed directly)
+    qh = fa._split_heads(q, heads)
+    kh = fa._split_heads(k, heads)
+    vh = fa._split_heads(v, heads)
+    gh = fa._split_heads(g, heads).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", w, gh).reshape(v.shape)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", gh, vh.astype(jnp.float32))
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kh.astype(jnp.float32)).reshape(q.shape)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qh.astype(jnp.float32)).reshape(k.shape)
+    with pltpu.force_tpu_interpret_mode():
+        got_dq, got_dk, got_dv = fa._pallas_attention_mh_bwd(
+            q, k, v, g, heads, mxu_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(dv),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(dq),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(dk),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mh_bwd_dispatch_gating():
+    """Backward gating is at least as strict as forward gating."""
+    q = jnp.zeros((2, 16, 96))
+    assert not fa._use_pallas_mh_bwd(q, 3, 16)
+    q = jnp.zeros((1, 16384, 512))
+    assert not fa._use_pallas_mh_bwd(q, 8, 16384)
