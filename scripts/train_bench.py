@@ -1,0 +1,84 @@
+"""Training-step throughput on the flagship config (one chip).
+
+Measures the full jitted train step (self-conditioning bootstrap prob 1.0,
+chamfer curriculum ON — the most expensive configuration, matching
+docs/performance.md "Training throughput") and reports ms/step, optionally
+with the Pallas attention-backward kernel disabled to isolate its
+contribution.
+
+Inputs are drawn from os.urandom-seeded RNG and each step's metrics are
+host-fetched: both required to defeat the axon runtime's cross-process
+execution cache (CLAUDE.md).
+
+Usage: python scripts/train_bench.py [--xla-bwd | --xla-attn]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _entropy_seed(bits: int = 31) -> int:
+    return int.from_bytes(os.urandom(8), "little") % (2**bits)
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pcdiff import ops
+    from pcdiff.data import synthetic_batch
+    from pcdiff.diffusion import diffusion_from_betas
+    from pcdiff.models import TwoStreamDenoiser
+    from pcdiff.train import create_train_state, make_train_step
+
+    mode = "default"
+    if "--xla-bwd" in sys.argv:
+        ops.flash_attention._use_pallas_mh_bwd = lambda *a: False
+        mode = "xla-bwd"
+    if "--xla-attn" in sys.argv:
+        ops.flash_attention.set_attention_backend("xla")
+        mode = "xla-attn"
+
+    B, N = 32, 1024
+    model = TwoStreamDenoiser(
+        num_points=N, num_latents=256, latent_dim=256, x_dim=256,
+        num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
+        num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
+        depth_patch=32,
+    )
+    rng = np.random.default_rng(_entropy_seed())
+    raw = synthetic_batch(rng, batch_size=B, num_points=N, num_partial=N,
+                          depth_size=512)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    params = model.init(
+        jax.random.PRNGKey(_entropy_seed()), batch["target"],
+        jnp.zeros((B,), jnp.int32),
+        class_labels=batch["class_labels"], viewpoints=batch["viewpoints"],
+        partial_pcd=batch["partial_pcd"], depth_maps=batch["depth_maps"],
+    )
+    state = create_train_state(model, params, lr=3e-4, total_steps=100)
+    diffusion = diffusion_from_betas("linear", 1000)
+    step = make_train_step(model, diffusion, self_conditioning_prob=1.0)
+
+    key = jax.random.PRNGKey(_entropy_seed())
+    state, metrics = step(state, batch, jax.random.fold_in(key, 0),
+                          jnp.asarray(True))
+    float(metrics["loss"])  # compile + completion barrier
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i + 1),
+                              jnp.asarray(True))
+        float(metrics["loss"])  # host fetch: the only real barrier on axon
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train_step[{mode}]: {dt * 1e3:.1f} ms/step "
+          f"({B / dt:.1f} samples/s)")
+
+
+if __name__ == "__main__":
+    main()
