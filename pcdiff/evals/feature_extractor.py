@@ -40,6 +40,7 @@ class PointNetClassifier:
         batch_size: int = 64,
         width_mult: int = 2,
         num_class: int = 40,
+        mesh=None,
     ):
         self.model = PointNet2ClassifierSSG(
             num_class=num_class, normal_channel=False, width_mult=width_mult
@@ -56,6 +57,19 @@ class PointNetClassifier:
             params = import_pointnet2_torch_state(sd)
         self.variables = params
         self.batch_size = batch_size
+        # The reference fans batches out over GPUs with a thread pool
+        # (feature_extractor.py:84-110); here one jitted program is sharded
+        # over the mesh's data axis — XLA splits the batch across chips.
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh's "
+                    f"data axis ({mesh.shape['data']})"
+                )
 
         def fwd(variables, xyz):
             log_probs, _, feats = self.model.apply(variables, xyz, features=True)
@@ -73,7 +87,10 @@ class PointNetClassifier:
             pad = self.batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
-            feats, preds = self._fwd(self.variables, jnp.asarray(chunk))
+            device_chunk = jnp.asarray(chunk)
+            if self._batch_sharding is not None:
+                device_chunk = jax.device_put(device_chunk, self._batch_sharding)
+            feats, preds = self._fwd(self.variables, device_chunk)
             feats_out.append(np.asarray(feats)[: self.batch_size - pad])
             preds_out.append(np.asarray(preds)[: self.batch_size - pad])
         return np.concatenate(feats_out, axis=0), np.concatenate(preds_out, axis=0)

@@ -267,3 +267,30 @@ def test_feature_extractor_padding_and_shapes(rng):
     np.testing.assert_allclose(normed.mean(axis=1), 0.0, atol=1e-6)
     radii = np.linalg.norm(normed, axis=-1).max(axis=1)
     np.testing.assert_allclose(radii, 1.0, rtol=1e-5)
+
+
+def test_feature_extractor_mesh_sharded_matches_dense(rng):
+    """Mesh-sharded extraction (the reference's multi-GPU thread-pool role)
+    must produce the single-device results exactly."""
+    import jax
+
+    from pcdiff.evals.feature_extractor import PointNetClassifier
+    from pcdiff.evals.pointnet2 import PointNet2ClassifierSSG
+    from pcdiff.parallel import make_mesh
+
+    model = PointNet2ClassifierSSG(num_class=40, normal_channel=False,
+                                   width_mult=1)
+    clouds = rng.standard_normal((10, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(clouds[:1]))
+    dense = PointNetClassifier(params=variables, batch_size=8, width_mult=1)
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    sharded = PointNetClassifier(params=variables, batch_size=8, width_mult=1,
+                                 mesh=mesh)
+    f0, p0 = dense.features_and_preds(clouds)
+    f1, p1 = sharded.features_and_preds(clouds)
+    np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        PointNetClassifier(params=variables, batch_size=6, width_mult=1,
+                           mesh=mesh)
