@@ -36,13 +36,15 @@ def main():
     NUM_POINTS = 1024
     STEPS = 64
 
-    # PCDIFF_BENCH_DTYPE=bfloat16 measures the bf16-activations lever
-    # (quality-gated by scripts/bf16_experiment.py); default is the fp32
-    # parity configuration the recorded baselines use.
+    # bf16 activations are the default: quality-gated neutral on a trained
+    # checkpoint (docs/trained_gates.json "bf16": CD 0.004817 vs fp32
+    # 0.004831 on held-out instances) and +12% throughput (3.52 vs 3.14
+    # clouds/s). PCDIFF_BENCH_DTYPE=float32 reproduces the fp32 parity
+    # configuration of the earlier recorded baselines.
     dtype = (
-        jnp.bfloat16
-        if os.environ.get("PCDIFF_BENCH_DTYPE") == "bfloat16"
-        else jnp.float32
+        jnp.float32
+        if os.environ.get("PCDIFF_BENCH_DTYPE") == "float32"
+        else jnp.bfloat16
     )
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
