@@ -25,6 +25,16 @@ def _entropy_seed(bits: int = 31) -> int:
 
 def main():
     import jax
+
+    # Persist compiled executables across processes (the full 64-step
+    # sampler is a ~25 min cold compile on the axon backend); harmless
+    # no-op if the backend does not support serialization.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/pcdiff_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from pcdiff.diffusion import diffusion_from_betas

@@ -64,11 +64,12 @@ def _partial_copy_baseline(cfg) -> dict:
     return metrics.summary(class_names=label_to_class)
 
 
-def main(run_dir: str | None = None) -> None:
+def main(run_dir: str | None = None, overrides: list[str] | None = None) -> None:
     from pcdiff.core.config import apply_overrides, load_config
     from pcdiff.cli.evaluate import main as eval_main
 
-    cfg = load_config(os.path.join(REPO, "configs", "synthetic_shapes.yaml"), [])
+    cfg = load_config(os.path.join(REPO, "configs", "synthetic_shapes.yaml"),
+                      list(overrides or []))
 
     if run_dir is None:
         _make_fixtures()
@@ -126,4 +127,8 @@ def main(run_dir: str | None = None) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    # usage: shapes_evidence.py [run_dir|-] [key=value overrides...]
+    run_arg = sys.argv[1] if len(sys.argv) > 1 and "=" not in sys.argv[1] else None
+    if run_arg == "-":
+        run_arg = None
+    main(run_arg, [a for a in sys.argv[1:] if "=" in a])
