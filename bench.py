@@ -44,7 +44,11 @@ def main():
 
     B = 32
     NUM_POINTS = 1024
-    STEPS = 64
+    # The official headline metric is the reference's 64-step setting; the
+    # env knob measures the validated fast preset (configs/modelnet_fast.
+    # yaml, docs/trained_gates.json) without changing the recorded metric
+    # name when it differs from 64.
+    STEPS = int(os.environ.get("PCDIFF_BENCH_STEPS", "64"))
 
     # bf16 activations are the default: quality-gated neutral on a trained
     # checkpoint (docs/trained_gates.json "bf16": CD 0.004817 vs fp32
@@ -109,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sampling_throughput_1024pt_64step_cfg",
+                "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg",
                 "value": round(clouds_per_sec, 4),
                 "unit": "clouds/sec",
                 "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2),
