@@ -38,6 +38,8 @@ def main(cfg: Config) -> dict:
     # evaluation.py:19-31 pattern) — NOT the root logger, so third-party
     # INFO noise (orbax, jax) stays out of the committed evaluation logs.
     fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
+    for handler in logger.handlers:
+        handler.close()  # scripts call main() repeatedly in one process
     logger.handlers.clear()
     logger.setLevel(logging.INFO)
     logger.propagate = False

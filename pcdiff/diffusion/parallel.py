@@ -125,6 +125,12 @@ def sample_heun_parallel(
     Returns dict with ``x``, ``pred_xstart``, ``state``, and
     ``parallel_iters`` (sequential denoiser rounds actually used;
     ``<= n`` and typically ``~n/2`` at tol=1e-3).
+
+    Note: the convergence test measures only the ``x`` iterate. At
+    ``tol > 0`` the returned ``state`` (the threaded latent
+    self-conditioning) at accepted positions lags one Picard iteration —
+    it is approximate to the same order as the accepted ``x`` error; at
+    ``tol=0`` it is exact.
     """
     del key  # churn-free Heun is deterministic given x_T
     if s_churn != 0.0:

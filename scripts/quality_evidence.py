@@ -24,7 +24,7 @@ def _rename_newest_log(stable_name: str, before: set) -> None:
     """Give the evaluate CLI's timestamped log a stable, committable name."""
     new = sorted(set(glob.glob("evaluation_log_*.txt")) - before, key=os.path.getmtime)
     if new:
-        os.replace(new[-1], os.path.join(REPO, stable_name))
+        os.replace(new[-1], os.path.join(REPO, "docs", "evidence", stable_name))
 
 
 def _export_training_artifacts(run_dir: str) -> None:

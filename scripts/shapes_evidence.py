@@ -12,7 +12,7 @@ the model never saw. Three numbers per metric:
   3. copy-the-partial baseline — what "just echo the input scan" scores
      (the reference task's trivial competitor).
 
-Writes docs/shapes_evidence.json, evaluation_log_shapes{,_untrained}.txt,
+Writes docs/shapes_evidence.json, docs/evidence/evaluation_log_shapes{,_untrained}.txt,
 and leaves the run dir under /tmp/pcdiff_shapes_runs.
 
 Usage: python scripts/shapes_evidence.py [run_dir]
@@ -35,7 +35,7 @@ TEST_H5 = "/tmp/pcdiff_shapes_test.h5"
 def _rename_newest_log(stable_name: str, before: set) -> None:
     new = sorted(set(glob.glob("evaluation_log_*.txt")) - before, key=os.path.getmtime)
     if new:
-        os.replace(new[-1], os.path.join(REPO, stable_name))
+        os.replace(new[-1], os.path.join(REPO, "docs", "evidence", stable_name))
 
 
 def _make_fixtures() -> None:
