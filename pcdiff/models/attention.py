@@ -22,6 +22,8 @@ import jax.numpy as jnp
 __all__ = [
     "dot_product_attention",
     "CrossAttention",
+    "FusedLayerNorm",
+    "LayerNorm",
     "Mlp",
     "EncoderLayer",
     "DecoderLayer",
@@ -47,10 +49,39 @@ def dot_product_attention(
 default_kernel_init = nn.initializers.xavier_uniform()
 
 
+class FusedLayerNorm(nn.Module):
+    """Drop-in ``nn.LayerNorm`` (last-axis, fp32 stats, fast variance) that
+    dispatches to the Pallas in-VMEM kernel on TPU.
+
+    Param tree ({"scale": [C], "bias": [C]}, fp32) and numerics are identical
+    to ``flax.linen.LayerNorm`` — weight importers and golden tests see no
+    difference; on TPU the kernel splits XLA's pathological LN mega-fusions
+    (docs/performance.md "Measured breakdown").
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from flax.linen import dtypes
+
+        from ..ops.layer_norm import fused_layer_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        out_dtype = dtypes.canonicalize_dtype(x, scale, bias, dtype=self.dtype)
+        return fused_layer_norm(x, scale, bias, self.epsilon, out_dtype)
+
+
 def LayerNorm(**kwargs):
     """LayerNorm with torch's epsilon (1e-5) for weight-port parity."""
     kwargs.setdefault("epsilon", 1e-5)
-    return nn.LayerNorm(**kwargs)
+    return FusedLayerNorm(**kwargs)
 
 
 class CrossAttention(nn.Module):

@@ -1,0 +1,118 @@
+"""Fused LayerNorm kernel tests (interpret mode on CPU) + module parity."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdiff.ops import layer_norm as ln
+
+
+@pytest.mark.parametrize("rows,c", [(37, 128), (1024, 256), (1500, 256), (3, 512)])
+def test_pallas_ln_matches_xla_interpret(rng, rows, c):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(rng.standard_normal((rows, c)), jnp.float32) * 3.0 + 0.7
+    s = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    want = ln._xla_layer_norm(x, s, b, 1e-5, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = ln._pallas_layer_norm(x, s, b, 1e-5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rows,c", [(64, 128), (1100, 256)])
+def test_pallas_ln_bwd_matches_xla_interpret(rng, rows, c):
+    """Non-divisible row counts exercise the live-row masking of the
+    d(scale)/d(bias) partial sums."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(rng.standard_normal((rows, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((rows, c)), jnp.float32)
+    want_dx, want_ds, want_db = ln._xla_layer_norm_bwd(x, s, g, 1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        dx, ds, db = ln._pallas_layer_norm_bwd(x, s, g, 1e-5)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(want_ds),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ln_vjp_matches_autodiff(rng):
+    """The hand-written VJP == jax.grad through the reference math."""
+    x = jnp.asarray(rng.standard_normal((11, 7, 64)), jnp.float32)
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal((64,)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((64,)), jnp.float32)
+
+    def loss_fused(x, s, b):
+        return jnp.sum(ln.fused_layer_norm(x, s, b, 1e-5, jnp.float32) ** 3)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(ln._xla_layer_norm(x, s, b, 1e-5, jnp.float32) ** 3)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, s, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, b)
+    for a, w in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_module_matches_flax_layernorm(rng, dtype):
+    from pcdiff.models.attention import FusedLayerNorm
+
+    x = jnp.asarray(rng.standard_normal((4, 19, 96)), jnp.float32).astype(dtype)
+    ref = nn.LayerNorm(epsilon=1e-5, dtype=dtype)
+    mod = FusedLayerNorm(epsilon=1e-5, dtype=dtype)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    # perturb params away from the identity init
+    variables = jax.tree.map(
+        lambda p: p + jnp.asarray(rng.standard_normal(p.shape), p.dtype) * 0.3,
+        variables,
+    )
+    want = ref.apply(variables, x)
+    got = mod.apply(variables, x)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fused_module_grads_match_flax(rng):
+    from pcdiff.models.attention import FusedLayerNorm
+
+    x = jnp.asarray(rng.standard_normal((4, 19, 96)), jnp.float32)
+    ref = nn.LayerNorm(epsilon=1e-5)
+    mod = FusedLayerNorm(epsilon=1e-5)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda p: p + jnp.asarray(rng.standard_normal(p.shape), p.dtype) * 0.3,
+        variables,
+    )
+    g_ref = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2), argnums=(0, 1))(
+        variables, x
+    )
+    g_mod = jax.grad(lambda v, x: jnp.sum(mod.apply(v, x) ** 2), argnums=(0, 1))(
+        variables, x
+    )
+    for a, w in zip(jax.tree.leaves(g_mod), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ln_dispatch_gating():
+    assert not ln._use_pallas_ln(64, 96, jnp.float32)  # lane-unaligned C
+    assert not ln._use_pallas_ln(64, 8192, jnp.float32)  # VMEM bound
+    assert not ln._use_pallas_ln(64, 256, jnp.float64)
+    ln.set_layernorm_backend("xla")
+    try:
+        assert not ln._use_pallas_ln(64, 256, jnp.float32)
+    finally:
+        ln.set_layernorm_backend("auto")
+    assert ln.layernorm_backend() == "auto"
