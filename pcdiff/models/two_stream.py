@@ -153,7 +153,7 @@ class TwoStreamDenoiser(nn.Module):
 
     # ------------------------------------------------------------- encoding
 
-    def encode_conditioning(
+    def encode_modalities(
         self,
         batch_size: int,
         class_labels=None,
@@ -162,18 +162,47 @@ class TwoStreamDenoiser(nn.Module):
         depth_maps=None,
         presence: Optional[Dict[str, jnp.ndarray]] = None,
         train: bool = False,
-    ) -> jnp.ndarray:
-        """All conditioning tokens with type embeddings applied -> [B, num_cond, D].
+    ) -> Dict[str, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+        """Run the (expensive) modality encoders once.
 
-        In training, type embeddings are added unmasked and CFG dropout is
-        applied per modality chunk; at inference, tokens and type embeddings
-        are presence-masked.
+        Returns ``{modality: (tokens * presence [B,count,D], presence [B,1,1])}``
+        with ``None`` for absent inputs. The result feeds
+        :meth:`assemble_conditioning`, which applies the cheap per-forward
+        parts (type embeddings, CFG dropout) — the train step reuses one
+        encoding across the self-conditioning bootstrap and the main
+        forward (reference re-encodes per forward: ``train.py:184-191`` +
+        ``models/model.py:498-509``).
         """
         presence = presence or {}
         inputs = {
             "class": class_labels, "view": viewpoints,
             "partial_pcd": partial_pcd, "depth": depth_maps,
         }
+        B = batch_size
+        raw: Dict[str, Optional[Tuple[jnp.ndarray, jnp.ndarray]]] = {}
+        for m in self.active_modalities:
+            value = inputs[m]
+            if value is None:
+                raw[m] = None
+                continue
+            p = self._presence(value, presence.get(m))
+            p = jnp.broadcast_to(p, (B,))[:, None, None]  # [B,1,1]
+            tokens = self.encoders[m](value, deterministic=not train) * p
+            raw[m] = (tokens, p)
+        return raw
+
+    def assemble_conditioning(
+        self,
+        raw: Dict[str, Optional[Tuple[jnp.ndarray, jnp.ndarray]]],
+        batch_size: int,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Type embeddings + CFG dropout over precomputed modality tokens.
+
+        In training, type embeddings are added unmasked and CFG dropout is
+        applied per modality chunk (fresh ``cond_drop`` rng draw per call);
+        at inference, tokens and type embeddings are presence-masked.
+        """
         counts = self.modality_token_counts()
         B = batch_size
 
@@ -191,14 +220,12 @@ class TwoStreamDenoiser(nn.Module):
 
         chunks = []
         for i, m in enumerate(self.active_modalities):
-            value = inputs[m]
             count = counts[m]
-            p = self._presence(value, presence.get(m))
-            p = jnp.broadcast_to(p, (B,))[:, None, None]  # [B,1,1]
-            if value is None:
+            if raw.get(m) is None:
                 tokens = jnp.zeros((B, count, self.latent_dim), dtype=self.dtype)
+                p = jnp.zeros((B, 1, 1), dtype=self.dtype)
             else:
-                tokens = self.encoders[m](value, deterministic=not train) * p
+                tokens, p = raw[m]
             type_emb = self.token_type_embeddings(
                 jnp.full((count,), MODALITY_TOKEN_IDS[m], dtype=jnp.int32)
             )[None]  # [1, count, D]
@@ -210,6 +237,24 @@ class TwoStreamDenoiser(nn.Module):
                 chunk = tokens + type_emb * p
             chunks.append(chunk)
         return jnp.concatenate(chunks, axis=1)
+
+    def encode_conditioning(
+        self,
+        batch_size: int,
+        class_labels=None,
+        viewpoints=None,
+        partial_pcd=None,
+        depth_maps=None,
+        presence: Optional[Dict[str, jnp.ndarray]] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """All conditioning tokens with type embeddings applied -> [B, num_cond, D]."""
+        raw = self.encode_modalities(
+            batch_size, class_labels=class_labels, viewpoints=viewpoints,
+            partial_pcd=partial_pcd, depth_maps=depth_maps,
+            presence=presence, train=train,
+        )
+        return self.assemble_conditioning(raw, batch_size, train=train)
 
     # --------------------------------------------------------------- forward
 

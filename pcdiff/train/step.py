@@ -37,13 +37,26 @@ def make_loss_fn(
     *,
     self_conditioning_prob: float = 0.6,
     bootstrap_include_partial_pcd: bool = False,
+    share_cond_encoders: bool = True,
 ):
-    """Build the per-step loss function over (params, batch, key, use_cd)."""
+    """Build the per-step loss function over (params, batch, key, use_cd).
+
+    ``share_cond_encoders`` (default on) runs the modality encoders ONCE per
+    step and shares the encoded tokens between the self-conditioning
+    bootstrap and the main forward (the reference re-encodes per forward,
+    ``train.py:184-194``; the depth/class/view tokens are identical across
+    the two since the bootstrap only omits ``partial_pcd``). Each forward
+    still draws its own CFG-dropout mask; the shared encoders use one
+    train-dropout draw instead of two independent ones — quality-gated on
+    the trained harness (docs/trained_gates.json).
+    """
+    share = share_cond_encoders and hasattr(model, "encode_modalities")
 
     def loss_fn(params, batch: Dict[str, jnp.ndarray], key, use_cd_xyz):
         target = batch["target"]  # [B, N, 3] channels-last
         B = target.shape[0]
-        k_t, k_noise, k_sc, k_drop, k_cdrop, k_bdrop, k_bcdrop = jax.random.split(key, 7)
+        (k_t, k_noise, k_sc, k_drop, k_cdrop, k_bdrop, k_bcdrop,
+         k_enc) = jax.random.split(key, 8)
 
         t = jax.random.randint(k_t, (B,), 0, diffusion.num_timesteps)
         noise = jax.random.normal(k_noise, target.shape, dtype=target.dtype)
@@ -56,16 +69,36 @@ def make_loss_fn(
             depth_maps=batch.get("depth_maps"),
         )
 
+        if share:
+            raw = model.apply(
+                params, B, train=True, rngs={"dropout": k_enc},
+                method="encode_modalities", **cond_kwargs,
+            )
+            boot_raw = dict(raw)
+            if not bootstrap_include_partial_pcd:
+                boot_raw["partial_pcd"] = None
+
         # --- latent self-conditioning bootstrap (scalar per-step coin) ---
         def bootstrap(_):
-            boot_kwargs = dict(cond_kwargs)
-            if not bootstrap_include_partial_pcd:
-                boot_kwargs["partial_pcd"] = None
-            _, latent = model.apply(
-                params, x_t, t, train=True,
-                rngs={"dropout": k_bdrop, "cond_drop": k_bcdrop},
-                **boot_kwargs,
-            )
+            if share:
+                cond_b = model.apply(
+                    params, boot_raw, B, train=True,
+                    rngs={"cond_drop": k_bcdrop},
+                    method="assemble_conditioning",
+                )
+                _, latent = model.apply(
+                    params, x_t, t, train=True, cond_tokens=cond_b,
+                    rngs={"dropout": k_bdrop},
+                )
+            else:
+                boot_kwargs = dict(cond_kwargs)
+                if not bootstrap_include_partial_pcd:
+                    boot_kwargs["partial_pcd"] = None
+                _, latent = model.apply(
+                    params, x_t, t, train=True,
+                    rngs={"dropout": k_bdrop, "cond_drop": k_bcdrop},
+                    **boot_kwargs,
+                )
             return jax.lax.stop_gradient(latent)
 
         def no_bootstrap(_):
@@ -78,6 +111,17 @@ def make_loss_fn(
         prev_latent = jax.lax.cond(use_sc, bootstrap, no_bootstrap, None)
 
         def model_fn(x, tt, **kw):
+            if share:
+                cond_m = model.apply(
+                    params, raw, B, train=True,
+                    rngs={"cond_drop": k_cdrop},
+                    method="assemble_conditioning",
+                )
+                return model.apply(
+                    params, x, tt, train=True, cond_tokens=cond_m,
+                    rngs={"dropout": k_drop},
+                    prev_latent=prev_latent, **kw,
+                )
             return model.apply(
                 params, x, tt, train=True,
                 rngs={"dropout": k_drop, "cond_drop": k_cdrop},
@@ -101,6 +145,7 @@ def make_train_step(
     *,
     self_conditioning_prob: float = 0.6,
     bootstrap_include_partial_pcd: bool = False,
+    share_cond_encoders: bool = True,
     donate: bool = True,
 ):
     """A jitted (state, batch, key, use_cd) -> (state, metrics) step."""
@@ -108,6 +153,7 @@ def make_train_step(
         model, diffusion,
         self_conditioning_prob=self_conditioning_prob,
         bootstrap_include_partial_pcd=bootstrap_include_partial_pcd,
+        share_cond_encoders=share_cond_encoders,
     )
 
     def step(state: TrainState, batch, key, use_cd_xyz) -> Tuple[TrainState, Dict[str, Any]]:

@@ -114,3 +114,53 @@ def test_warmup_cosine_schedule_shape():
     assert float(sched(0)) == 0.0
     assert np.isclose(float(sched(10)), 3e-4, rtol=1e-5)  # peak after warmup
     assert np.isclose(float(sched(100)), 3e-6, rtol=1e-2)  # floor = 1% peak
+
+
+def test_encode_modalities_assemble_matches_encode_conditioning():
+    """The shared-encoder split must be a pure refactor of the one-shot
+    encoder path under identical rng streams (train and eval modes)."""
+    model, params, _, batch = make_setup(B=4)
+    kwargs = dict(
+        class_labels=batch["class_labels"], viewpoints=batch["viewpoints"],
+        partial_pcd=batch["partial_pcd"], depth_maps=batch["depth_maps"],
+    )
+    for train, rngs in [
+        (False, {}),
+        (True, {"dropout": jax.random.PRNGKey(7),
+                "cond_drop": jax.random.PRNGKey(8)}),
+    ]:
+        want = model.apply(
+            params, 4, train=train, rngs=rngs,
+            method="encode_conditioning", **kwargs,
+        )
+        raw = model.apply(
+            params, 4, train=train,
+            rngs={k: v for k, v in rngs.items() if k == "dropout"},
+            method="encode_modalities", **kwargs,
+        )
+        got = model.apply(
+            params, raw, 4, train=train,
+            rngs={k: v for k, v in rngs.items() if k == "cond_drop"},
+            method="assemble_conditioning",
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_shared_and_unshared_encoder_steps_both_train():
+    model, params, diffusion, batch = make_setup(B=4)
+    from pcdiff.train import create_train_state
+
+    for share in (True, False):
+        state = create_train_state(model, params, lr=1e-3, total_steps=50)
+        step = make_train_step(
+            model, diffusion, self_conditioning_prob=1.0,
+            share_cond_encoders=share, donate=False,
+        )
+        losses = []
+        key = jax.random.PRNGKey(3)
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub, jnp.asarray(False))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all(), share
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), share
