@@ -5,7 +5,17 @@ clouds, 64-step Karras Heun sampling, classifier-free guidance (2x batched
 forwards), batch 32, one chip. Reference: ~0.116 point-clouds/sec on one
 CUDA GPU (evaluation_log1.txt timestamps).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line:
+  {"metric", "value", "unit", "vs_baseline", "dtype", "steps", "wall_s"}.
+
+Wall-clock anatomy on the axon TPU backend (round-3 measurements, clean
+host): import+device ~30 s, jitted param init ~65 s (eager init costs ~300 s
+— thousands of op dispatches through the tunnel; ALWAYS jit init here),
+sampler compile+first ~450 s (server-side, step-count-independent: scan8
+and scan64 compile alike), then ~9 s per timed batch. Total ~10 min. The
+round-2 bench timed out in the driver because of eager init + CPU
+contention tripling the compile-path cost; this version also time-boxes
+the timed iterations (PCDIFF_BENCH_BUDGET_S) so a JSON line always lands.
 """
 
 import json
@@ -18,17 +28,24 @@ BASELINE_CLOUDS_PER_SEC = 32.0 / 276.0  # reference GPU sampling throughput
 
 
 def _entropy_seed(bits: int = 31) -> int:
-    # The axon runtime caches executions whose program and (large) inputs
-    # repeat — across processes. Every benchmark tensor must be unique.
+    # The axon runtime caches identical (program, inputs) executions —
+    # across processes. Every benchmark tensor must be unique.
     return int.from_bytes(os.urandom(8), "little") % (2**bits)
 
 
 def main():
+    t_start = time.perf_counter()
+    # Soft wall-clock budget: stop timing (not mid-compile — compiles are
+    # uninterruptible) as soon as the elapsed time crosses it, emitting
+    # whatever has been measured. Generous default; the driver's timeout
+    # is the hard stop this guards against.
+    budget_s = float(os.environ.get("PCDIFF_BENCH_BUDGET_S", "900"))
+
     import jax
 
-    # Persist compiled executables across processes (the full 64-step
-    # sampler is a ~25 min cold compile on the axon backend); harmless
-    # no-op if the backend does not support serialization.
+    # Persist client-side compile artifacts across processes (the big
+    # sampler compile is server-side and NOT client-cacheable; this still
+    # saves ~1 min of client lowering).
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/pcdiff_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
@@ -46,20 +63,16 @@ def main():
     NUM_POINTS = 1024
     # The official headline metric is the reference's 64-step setting; the
     # env knob measures the validated fast preset (configs/modelnet_fast.
-    # yaml, docs/trained_gates.json) without changing the recorded metric
-    # name when it differs from 64.
+    # yaml, docs/trained_gates.json) under an adapted metric name, with
+    # vs_baseline omitted (the reference baseline is 64-step only).
     STEPS = int(os.environ.get("PCDIFF_BENCH_STEPS", "64"))
 
     # bf16 activations are the default: quality-gated neutral on a trained
     # checkpoint (docs/trained_gates.json "bf16": CD 0.004817 vs fp32
-    # 0.004831 on held-out instances) and +12% throughput (3.52 vs 3.14
-    # clouds/s). PCDIFF_BENCH_DTYPE=float32 reproduces the fp32 parity
-    # configuration of the earlier recorded baselines.
-    dtype = (
-        jnp.float32
-        if os.environ.get("PCDIFF_BENCH_DTYPE") == "float32"
-        else jnp.bfloat16
-    )
+    # 0.004831 on held-out instances). PCDIFF_BENCH_DTYPE=float32
+    # reproduces the fp32 parity configuration of the round-1 baseline.
+    dtype_name = os.environ.get("PCDIFF_BENCH_DTYPE", "bfloat16")
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
@@ -75,11 +88,12 @@ def main():
         ),
         depth_maps=jnp.asarray(rng.random((B, 512, 512, 1)), dtype=jnp.float32),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(_entropy_seed()),
         jnp.zeros((B, NUM_POINTS, 3)), jnp.zeros((B,), jnp.int32),
         **batch,
     )
+    jax.tree.map(lambda a: a.block_until_ready(), params)
     bound = BoundTwoStream(model, params)
 
     sampler = PointCloudSampler(
@@ -100,26 +114,35 @@ def main():
     out = run(jax.random.fold_in(base_key, 0))
     float(jnp.sum(out))
 
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
+    # Time-boxed iterations: up to 3, at least 1; stop early if over budget.
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
         out = run(jax.random.fold_in(base_key, i + 1))
         # block_until_ready does NOT wait under the axon tunnel; a host
         # fetch is the only reliable completion barrier (CLAUDE.md).
         float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+        if time.perf_counter() - t_start > budget_s:
+            break
+    dt = sum(times) / len(times)
 
     clouds_per_sec = B / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg",
-                "value": round(clouds_per_sec, 4),
-                "unit": "clouds/sec",
-                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2),
-            }
-        )
-    )
+    record = {
+        "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg",
+        "value": round(clouds_per_sec, 4),
+        "unit": "clouds/sec",
+        "dtype": dtype_name,
+        "steps": STEPS,
+        "wall_s": round(time.perf_counter() - t_start, 1),
+    }
+    # The reference baseline is the 64-step setting; other step counts
+    # have no apples-to-apples baseline ratio.
+    if STEPS == 64:
+        record["vs_baseline"] = round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2)
+    else:
+        record["vs_baseline"] = None
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
