@@ -73,6 +73,18 @@ def main():
     # reproduces the fp32 parity configuration of the round-1 baseline.
     dtype_name = os.environ.get("PCDIFF_BENCH_DTYPE", "bfloat16")
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+
+    # A/B knobs for the kernel dispatch (auto | pallas | xla).
+    ln_backend = os.environ.get("PCDIFF_BENCH_LN", "auto")
+    attn_backend = os.environ.get("PCDIFF_BENCH_ATTN", "auto")
+    if ln_backend != "auto":
+        from pcdiff.ops.layer_norm import set_layernorm_backend
+
+        set_layernorm_backend(ln_backend)
+    if attn_backend != "auto":
+        from pcdiff.ops import set_attention_backend
+
+        set_attention_backend(attn_backend)
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,

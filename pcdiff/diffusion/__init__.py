@@ -14,6 +14,7 @@ from .karras import (
     sample_dpm,
     sample_euler_ancestral,
     sample_heun,
+    sample_heun_reuse,
     sigma_to_t,
 )
 from .parallel import sample_heun_parallel
@@ -30,6 +31,7 @@ __all__ = [
     "karras_sample",
     "sample_heun",
     "sample_heun_parallel",
+    "sample_heun_reuse",
     "sample_dpm",
     "sample_euler_ancestral",
     "sigma_to_t",

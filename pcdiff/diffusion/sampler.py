@@ -39,6 +39,7 @@ from .karras import (
     sample_dpm,
     sample_euler_ancestral,
     sample_heun,
+    sample_heun_reuse,
 )
 from .parallel import sample_heun_parallel
 
@@ -166,8 +167,8 @@ class PointCloudSampler:
         )
         key, init_key = jax.random.split(key)
         x_T = jax.random.normal(init_key, shape) * self.sigma_max[stage]
-        fn = {"heun": sample_heun, "dpm": sample_dpm,
-              "ancestral": sample_euler_ancestral,
+        fn = {"heun": sample_heun, "heun_reuse": sample_heun_reuse,
+              "dpm": sample_dpm, "ancestral": sample_euler_ancestral,
               "heun_parallel": sample_heun_parallel}[self.sampler]
         if self.sampler == "ancestral":
             extra = {}

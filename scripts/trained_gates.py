@@ -35,10 +35,15 @@ GATES = [
                      "sample.parallel_window=8", "sample.parallel_tol=0.001"]),
     ("picard-1e-2", ["sample.sampler=heun_parallel",
                      "sample.parallel_window=8", "sample.parallel_tol=0.01"]),
+    # PFDiff-style past-score reuse (VERDICT r2 #6): ~2x fewer denoiser
+    # calls at the same sigma grid (65 vs 127 at 64 steps)
+    ("reuse-64", ["sample.sampler=heun_reuse"]),
+    ("reuse-32", ["sample.sampler=heun_reuse", "sample.karras_steps=32"]),
 ]
 
 
-def main(run_dir: str, config_path: str, test_h5: str) -> None:
+def main(run_dir: str, config_path: str, test_h5: str,
+         only: "set[str] | None" = None) -> None:
     from pcdiff.core.config import apply_overrides, load_config
     from pcdiff.cli.evaluate import main as eval_main
 
@@ -46,7 +51,13 @@ def main(run_dir: str, config_path: str, test_h5: str) -> None:
     ckpt = os.path.join(run_dir, "checkpoints")
     logs_before = set(glob.glob("evaluation_log_*.txt"))
     results = {}
+    dest = os.path.join(REPO, "docs", "trained_gates.json")
+    if only and os.path.exists(dest):
+        with open(dest) as f:
+            results = json.load(f)  # merge new gates into the record
     for name, overrides in GATES:
+        if only and name not in only:
+            continue
         cfg = apply_overrides(base, [
             f"data.h5_path={test_h5}",
             f"sample.load_checkpoint_path={ckpt}",
@@ -62,15 +73,18 @@ def main(run_dir: str, config_path: str, test_h5: str) -> None:
 
     for log in set(glob.glob("evaluation_log_*.txt")) - logs_before:
         os.remove(log)  # per-gate logs are scratch; the json is the record
-    dest = os.path.join(REPO, "docs", "trained_gates.json")
     with open(dest, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {dest}")
 
 
 if __name__ == "__main__":
-    run = sys.argv[1]
-    cfg_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    # usage: trained_gates.py <run_dir> [config] [test_h5] [--only=g1,g2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only_arg = [a for a in sys.argv[1:] if a.startswith("--only=")]
+    run = args[0]
+    cfg_path = args[1] if len(args) > 1 else os.path.join(
         REPO, "configs", "synthetic_shapes.yaml")
-    h5 = sys.argv[3] if len(sys.argv) > 3 else "/tmp/pcdiff_shapes_test.h5"
-    main(run, cfg_path, h5)
+    h5 = args[2] if len(args) > 2 else "/tmp/pcdiff_shapes_test.h5"
+    main(run, cfg_path, h5,
+         only=set(only_arg[0].split("=", 1)[1].split(",")) if only_arg else None)

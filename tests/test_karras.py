@@ -194,3 +194,92 @@ def test_karras_training_losses_match():
             np.asarray(got[key]), want[key].numpy(), rtol=2e-4, atol=1e-5,
             err_msg=key,
         )
+
+
+# ------------------------------------------------------------------ heun_reuse
+
+
+def test_heun_reuse_call_count_and_state_threading():
+    """n+1 denoiser calls at n steps (vs heun's 2(n-1)+1), state advancing
+    through every call."""
+
+    def counting_denoiser(x, sigma, state):
+        return x * 0.5, state + 1
+
+    sigmas = karras.get_sigmas_karras(8, 1e-3, 10.0)
+    x_T = jnp.ones((1, 4, 3))
+    out = karras.sample_heun_reuse(
+        counting_denoiser, x_T, sigmas, jax.random.PRNGKey(0), state=jnp.int32(0)
+    )
+    assert int(out["state"]) == 9  # 2 (step 0) + 6 (reuse steps) + 1 (final)
+
+
+@pytest.mark.parametrize("steps", [1, 2])
+def test_heun_reuse_degenerates_to_heun_at_tiny_step_counts(steps):
+    """With <=2 steps there is no interior reuse step: same math as heun
+    (float-level differences only — heun's body lives in a lax.scan, the
+    degenerate reuse path is unrolled, so fusion order differs)."""
+    sigmas = karras.get_sigmas_karras(steps, 1e-3, 10.0)
+    x_T = np.random.default_rng(7).standard_normal((B, N, C)).astype(np.float32) * 10.0
+    got = karras.sample_heun_reuse(
+        _linear_denoiser_jax, jnp.asarray(x_T), sigmas, jax.random.PRNGKey(0)
+    )
+    want = karras.sample_heun(
+        _linear_denoiser_jax, jnp.asarray(x_T), sigmas, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["x"]), np.asarray(want["x"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["pred_xstart"]), np.asarray(want["pred_xstart"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_heun_reuse_second_order_accuracy():
+    """At equal NFE the reuse sampler must beat plain heun: reuse at n steps
+    costs about as many calls as heun at n/2 steps, and its solution error
+    against a fine-grid truth must be smaller. Also: error within a small
+    factor of full heun at the SAME grid (the O(h^2) slope perturbation must
+    not change the error class)."""
+    x_T = np.random.default_rng(11).standard_normal((B, N, C)).astype(np.float32) * 10.0
+
+    def solve(fn, steps):
+        sigmas = karras.get_sigmas_karras(steps, 1e-3, 10.0)
+        return np.asarray(
+            fn(_linear_denoiser_jax, jnp.asarray(x_T), sigmas,
+               jax.random.PRNGKey(0))["x"]
+        )
+
+    truth = solve(karras.sample_heun, 256)
+    err_reuse_16 = np.abs(solve(karras.sample_heun_reuse, 16) - truth).max()
+    err_heun_16 = np.abs(solve(karras.sample_heun, 16) - truth).max()
+    err_heun_8 = np.abs(solve(karras.sample_heun, 8) - truth).max()
+    # equal-NFE comparison: reuse@16 (17 calls) vs heun@8 (15 calls)
+    assert err_reuse_16 < err_heun_8
+    # same-grid comparison: within 3x of full heun@16
+    assert err_reuse_16 < 3.0 * err_heun_16
+
+
+def test_heun_reuse_progressive_trajectory_shapes():
+    steps = 6
+    sigmas = karras.get_sigmas_karras(steps, 1e-3, 10.0)
+    x_T = np.random.default_rng(13).standard_normal((B, N, C)).astype(np.float32)
+    out = karras.sample_heun_reuse(
+        _linear_denoiser_jax, jnp.asarray(x_T), sigmas, jax.random.PRNGKey(0),
+        progressive=True,
+    )
+    assert out["trajectory"]["x"].shape == (steps, B, N, C)
+    assert out["trajectory"]["sigma"].shape == (steps,)
+    np.testing.assert_array_equal(
+        np.asarray(out["trajectory"]["x"][-1]), np.asarray(out["x"])
+    )
+
+
+def test_heun_reuse_rejects_churn():
+    sigmas = karras.get_sigmas_karras(4, 1e-3, 10.0)
+    with pytest.raises(NotImplementedError):
+        karras.sample_heun_reuse(
+            _linear_denoiser_jax, jnp.ones((1, 4, 3)), sigmas,
+            jax.random.PRNGKey(0), s_churn=1.0,
+        )
