@@ -50,13 +50,14 @@ default_kernel_init = nn.initializers.xavier_uniform()
 
 
 class FusedLayerNorm(nn.Module):
-    """Drop-in ``nn.LayerNorm`` (last-axis, fp32 stats, fast variance) that
-    dispatches to the Pallas in-VMEM kernel on TPU.
+    """Drop-in ``nn.LayerNorm`` (last-axis, fp32 stats, fast variance) with
+    a backend-selectable implementation (XLA by default; opt-in Pallas
+    in-VMEM kernel via ``pcdiff.ops.layer_norm.set_layernorm_backend``).
 
     Param tree ({"scale": [C], "bias": [C]}, fp32) and numerics are identical
     to ``flax.linen.LayerNorm`` — weight importers and golden tests see no
-    difference; on TPU the kernel splits XLA's pathological LN mega-fusions
-    (docs/performance.md "Measured breakdown").
+    difference. A/B on the full sampler showed the standalone kernel LOSES
+    ~5% end-to-end (see ``_use_pallas_ln``), so XLA stays the default.
     """
 
     epsilon: float = 1e-5

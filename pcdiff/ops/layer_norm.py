@@ -56,9 +56,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _use_pallas_ln(rows: int, c: int, dtype) -> bool:
-    if _BACKEND == "xla":
-        return False
-    if _BACKEND != "pallas" and jax.default_backend() != "tpu":
+    if _BACKEND != "pallas":
+        # auto: XLA. Same end-to-end verdict as the round-1 per-head
+        # attention kernel: in ISOLATION this kernel wins, but A/B on the
+        # full 64-step bf16 sampler measures 3.50 clouds/s with XLA LN vs
+        # 3.32 with the kernel dispatched — splitting XLA's LN mega-fusions
+        # does not remove their residual/gather work, it adds two HBM
+        # round-trips per LN. The in-context fusion penalty must be claimed
+        # by fusing LN INTO the following projection (ops/ln_dense), not by
+        # standalone LN. Opt in via set_layernorm_backend("pallas").
         return False
     if c % 128 or c > 4096:
         return False  # feature dim must tile the lane register; bound VMEM
