@@ -67,6 +67,13 @@ def compute_inception_score(preds: np.ndarray, split_size: int = 5000) -> float:
     scores = []
     for i in range(0, len(preds), split_size):
         part = preds[i : i + split_size]
-        kl = part * (np.log(part) - np.log(np.mean(part, axis=0, keepdims=True)))
+        # 0 * log(0) -> 0 (the KL limit). The reference formula
+        # (/root/reference/evals/fid_is.py:78) NaNs when a class
+        # probability underflows to exactly 0; elsewhere identical.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl = part * (
+                np.log(part) - np.log(np.mean(part, axis=0, keepdims=True))
+            )
+        kl = np.where(part > 0, kl, 0.0)
         scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
     return float(np.mean(scores))

@@ -319,6 +319,47 @@ def import_pointnet2_torch_state(state_dict) -> Dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def export_pointnet2_torch_state(variables: Dict) -> Dict:
+    """Inverse of :func:`import_pointnet2_torch_state`: flax variables ->
+    the reference's torch ``state_dict`` layout (numpy arrays; wrap with
+    ``torch.from_numpy`` / ``torch.save`` as needed). Lets a classifier
+    trained in this framework serve as the P-FID/P-IS extractor for the
+    torch reference pipeline (``/root/reference/evals/feature_extractor.py``
+    loads this schema)."""
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    sd: Dict = {}
+
+    for sa in ("sa1", "sa2", "sa3"):
+        i = 0
+        while f"conv_{i}" in params[sa]:
+            conv = params[sa][f"conv_{i}"]
+            # [1, 1, in, out] -> [out, in, 1, 1]
+            sd[f"{sa}.mlp_convs.{i}.weight"] = np.ascontiguousarray(
+                np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+            )
+            sd[f"{sa}.mlp_convs.{i}.bias"] = np.asarray(conv["bias"])
+            bn = params[sa][f"bn_{i}"]
+            bs = batch_stats[sa][f"bn_{i}"]
+            sd[f"{sa}.mlp_bns.{i}.weight"] = np.asarray(bn["scale"])
+            sd[f"{sa}.mlp_bns.{i}.bias"] = np.asarray(bn["bias"])
+            sd[f"{sa}.mlp_bns.{i}.running_mean"] = np.asarray(bs["mean"])
+            sd[f"{sa}.mlp_bns.{i}.running_var"] = np.asarray(bs["var"])
+            i += 1
+
+    for fc, bn in (("fc1", "bn1"), ("fc2", "bn2")):
+        sd[f"{fc}.weight"] = np.ascontiguousarray(
+            np.asarray(params[fc]["kernel"]).T)
+        sd[f"{fc}.bias"] = np.asarray(params[fc]["bias"])
+        sd[f"{bn}.weight"] = np.asarray(params[bn]["scale"])
+        sd[f"{bn}.bias"] = np.asarray(params[bn]["bias"])
+        sd[f"{bn}.running_mean"] = np.asarray(batch_stats[bn]["mean"])
+        sd[f"{bn}.running_var"] = np.asarray(batch_stats[bn]["var"])
+    sd["fc3.weight"] = np.ascontiguousarray(np.asarray(params["fc3"]["kernel"]).T)
+    sd["fc3.bias"] = np.asarray(params["fc3"]["bias"])
+    return sd
+
+
 def import_sa_msg_torch_state(state_dict, num_scales: int) -> Dict:
     """Map a torch ``PointNetSetAbstractionMsg`` state_dict to flax variables."""
     sd = state_dict

@@ -86,6 +86,44 @@ def test_pointnet2_classifier_weight_port_parity(xyz):
     )
 
 
+def test_pointnet2_export_round_trip_and_torch_load(xyz):
+    """export(import(sd)) == sd exactly, and the torch reference model
+    loads the exported state dict and reproduces the jax forward — the
+    contract the trained P-FID extractor relies on."""
+    from pcdiff.evals.pointnet2 import export_pointnet2_torch_state
+
+    torch.manual_seed(1)
+    ref_model = ref_cls.get_model(num_class=40, normal_channel=False, width_mult=1)
+    ref_model.eval()
+    for m in ref_model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+    variables = import_pointnet2_torch_state(ref_model.state_dict())
+    sd = export_pointnet2_torch_state(variables)
+    want = {k: v for k, v in ref_model.state_dict().items()
+            if "num_batches_tracked" not in k}
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k], want[k].numpy(), err_msg=k)
+
+    # load into a FRESH torch model and check forward parity with jax
+    model2 = ref_cls.get_model(num_class=40, normal_channel=False, width_mult=1)
+    model2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,  # num_batches_tracked buffers keep defaults
+    )
+    model2.eval()
+    ours = PointNet2ClassifierSSG(num_class=40, normal_channel=False, width_mult=1)
+    with torch.no_grad():
+        ref_logp, _ = model2(torch.from_numpy(xyz).permute(0, 2, 1))
+    got_logp, _ = ours.apply(variables, jnp.asarray(xyz))
+    np.testing.assert_allclose(
+        np.asarray(got_logp), ref_logp.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_set_abstraction_msg_weight_port_parity(xyz, rng):
     from pcdiff.evals.pointnet2 import (
         PointNetSetAbstractionMsg,
@@ -206,6 +244,25 @@ def test_inception_score_matches_reference(rng):
     ours = compute_inception_score(preds, split_size=100)
     theirs = ref_fid.compute_inception_score(preds, split_size=100)
     assert np.isclose(ours, theirs, rtol=1e-9)
+
+
+def test_inception_score_zero_prob_no_nan(rng):
+    """A sharp classifier underflows some class probs to exactly 0; the
+    KL convention 0*log0=0 must apply (the reference formula NaNs here)."""
+    logits = 200.0 * rng.standard_normal((50, 10))
+    preds = np.exp(logits - logits.max(axis=1, keepdims=True))
+    preds /= preds.sum(axis=1, keepdims=True)
+    assert np.any(preds == 0.0)
+    ours = compute_inception_score(preds, split_size=25)
+    assert np.isfinite(ours) and 1.0 <= ours <= 10.0
+    # agreement with the reference where BOTH are finite: perturb the
+    # zeros away and the two formulas coincide
+    preds_eps = np.clip(preds, 1e-30, None)
+    preds_eps /= preds_eps.sum(axis=1, keepdims=True)
+    ref = ref_fid.compute_inception_score(preds_eps, split_size=25)
+    assert np.isclose(compute_inception_score(preds_eps, split_size=25), ref,
+                      rtol=1e-9)
+    assert np.isclose(ours, ref, rtol=1e-3)
 
 
 def test_npz_streamer_rebatches_across_shards(tmp_path, rng):
