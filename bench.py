@@ -85,6 +85,13 @@ def main():
         from pcdiff.ops import set_attention_backend
 
         set_attention_backend(attn_backend)
+    # Module-level LN->projection fusion (auto | on | off); 'auto' fuses on
+    # TPU via the pcdiff.ops.ln_dense Pallas kernel.
+    lndense_mode = os.environ.get("PCDIFF_BENCH_LNDENSE", "auto")
+    if lndense_mode != "auto":
+        from pcdiff.models.attention import set_ln_dense_fusion
+
+        set_ln_dense_fusion(lndense_mode)
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,

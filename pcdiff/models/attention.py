@@ -27,6 +27,8 @@ __all__ = [
     "Mlp",
     "EncoderLayer",
     "DecoderLayer",
+    "set_ln_dense_fusion",
+    "fuse_ln_dense_enabled",
 ]
 
 AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -79,6 +81,92 @@ class FusedLayerNorm(nn.Module):
         return fused_layer_norm(x, scale, bias, self.epsilon, out_dtype)
 
 
+LN_EPS = 1e-5  # torch-parity epsilon, reference nn.LayerNorm default
+
+
+class _LNParams(nn.Module):
+    """Declares the LayerNorm param tree ({"scale", "bias"}, fp32) WITHOUT
+    computing the normalization — the fused LN+Dense path consumes the raw
+    (scale, bias) and normalizes inside the projection kernel. Param paths
+    are identical to :class:`FusedLayerNorm`/``nn.LayerNorm``, so
+    checkpoints are interchangeable between the fused and unfused graphs."""
+
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return scale, bias, LN_EPS
+
+
+class _DenseParams(nn.Module):
+    """Declares an ``nn.Dense``-compatible param tree (kernel [+ bias])
+    without computing the projection (same names, shapes, and inits)."""
+
+    features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: int):
+        kernel = self.param(
+            "kernel", default_kernel_init, (c, self.features), self.param_dtype
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+_LN_DENSE_FUSION = "auto"  # auto | on | off
+
+
+def set_ln_dense_fusion(mode: str) -> None:
+    """Select whether pre-LN blocks fuse the LayerNorm into the consuming
+    projection (:func:`pcdiff.ops.ln_dense.fused_ln_denses`): 'auto' (TPU
+    only), 'on', or 'off'. Trace-time decision; param trees are identical
+    either way, so a checkpoint works under both graphs."""
+    global _LN_DENSE_FUSION
+    assert mode in ("auto", "on", "off")
+    _LN_DENSE_FUSION = mode
+
+
+def fuse_ln_dense_enabled() -> bool:
+    if _LN_DENSE_FUSION == "off":
+        return False
+    if _LN_DENSE_FUSION == "on":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _ln_dense_multi(x, ln, params, dtype, acts=None, out_scales=None):
+    """LN(x) -> [act_i(Dense_i(LN(x)) * s_i)] with the normalized tensor
+    never materialized (multi-output Pallas kernel on TPU, the equivalent
+    XLA composition elsewhere). ``params`` is a list of
+    (kernel, bias-or-None); ``acts`` of None|'gelu'; ``out_scales`` of
+    trace-time constants folded into the weights (weights are
+    loop-invariant, so the fold is hoisted out of sampler loops)."""
+    from ..ops.ln_dense import fused_ln_denses
+
+    scale, bias, eps = ln
+    kernels = [k for k, _ in params]
+    biases = [b for _, b in params]
+    if out_scales is not None:
+        kernels = [k if s is None else k * s
+                   for k, s in zip(kernels, out_scales)]
+        biases = [b if (s is None or b is None) else b * s
+                  for b, s in zip(biases, out_scales)]
+    if acts is None:
+        acts = (None,) * len(kernels)
+    return fused_ln_denses(x, scale, bias, tuple(kernels), tuple(biases),
+                           eps, dtype, tuple(acts))
+
+
 def LayerNorm(**kwargs):
     """LayerNorm with torch's epsilon (1e-5) for weight-port parity."""
     kwargs.setdefault("epsilon", 1e-5)
@@ -103,22 +191,51 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_q: jnp.ndarray, x_kv: jnp.ndarray, deterministic: bool = True
+        self,
+        x_q: jnp.ndarray,
+        x_kv: jnp.ndarray,
+        deterministic: bool = True,
+        *,
+        q_ln=None,
+        kv_ln=None,
     ) -> jnp.ndarray:
+        """With ``q_ln``/``kv_ln`` (the (scale, bias, eps) tuples from
+        :class:`_LNParams`), ``x_q``/``x_kv`` are UN-normalized and the
+        pre-LN is fused into the q/k/v projections (one concatenated
+        matmul per distinct input); otherwise inputs are pre-normalized by
+        the caller as usual. Param tree is identical in both modes."""
         B, N_q, _ = x_q.shape
         N_kv = x_kv.shape[1]
         H = self.num_heads
         head_dim = self.dim // H
         scale = head_dim**-0.5
 
-        dense = lambda name: nn.Dense(
-            self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-            kernel_init=default_kernel_init, name=name,
-        )
-        q2 = dense("wq")(x_q)
-        k2 = dense("wk")(x_kv)
-        v2 = dense("wv")(x_kv)
+        if q_ln is not None:
+            # The attention 1/sqrt(d) scale on q is folded into wq at trace
+            # time, so q2 comes out of the kernel PRE-scaled (one less
+            # elementwise HBM pass between the two custom calls).
+            wq = _DenseParams(self.dim, self.qkv_bias, name="wq")(x_q.shape[-1])
+            wk = _DenseParams(self.dim, self.qkv_bias, name="wk")(x_kv.shape[-1])
+            wv = _DenseParams(self.dim, self.qkv_bias, name="wv")(x_kv.shape[-1])
+            if x_q is x_kv and q_ln is kv_ln:
+                q2, k2, v2 = _ln_dense_multi(
+                    x_q, q_ln, [wq, wk, wv], self.dtype,
+                    out_scales=[scale, None, None])
+            else:
+                (q2,) = _ln_dense_multi(x_q, q_ln, [wq], self.dtype,
+                                        out_scales=[scale])
+                k2, v2 = _ln_dense_multi(x_kv, kv_ln, [wk, wv], self.dtype)
+        else:
+            dense = lambda name: nn.Dense(
+                self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                kernel_init=default_kernel_init, name=name,
+            )
+            q2 = dense("wq")(x_q)
+            k2 = dense("wk")(x_kv)
+            v2 = dense("wv")(x_kv)
 
+        if q_ln is None:
+            q2 = q2 * scale  # fused path folds the scale into wq
         fn = self.attention_fn
         inner = fn.__func__ if isinstance(fn, staticmethod) else fn
         if inner is dot_product_attention:
@@ -126,13 +243,13 @@ class CrossAttention(nn.Module):
             # head-split relayout ever reaches HBM (Pallas kernel on TPU)
             from ..ops.flash_attention import fused_attention_mh
 
-            out = fused_attention_mh(q2 * scale, k2, v2, H)
+            out = fused_attention_mh(q2, k2, v2, H)
         else:
             # custom attention_fn hook (e.g. xsp sharded attention): bhqd
             q = q2.reshape(B, N_q, H, head_dim).transpose(0, 2, 1, 3)
             k = k2.reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
             v = v2.reshape(B, N_kv, H, head_dim).transpose(0, 2, 1, 3)
-            out = fn(q * scale, k, v)
+            out = fn(q, k, v)
             out = out.transpose(0, 2, 1, 3).reshape(B, N_q, self.dim)
         if self.attn_drop > 0.0:
             # the reference drops attention *weights*; with the fused kernel we
@@ -153,13 +270,23 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, *, ln=None
+    ) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(
-            self.hidden_dim, dtype=self.dtype, kernel_init=default_kernel_init,
-            name="fc1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
+        if ln is not None:
+            # pre-LN fused into fc1 (x is UN-normalized; see CrossAttention)
+            # with the exact-erf GELU applied on the f32 accumulator inside
+            # the kernel — a standalone gelu between two custom calls costs
+            # an f32 materialization of the [B, N, 4C] activation.
+            fc1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            (x,) = _ln_dense_multi(x, ln, [fc1], self.dtype, acts=["gelu"])
+        else:
+            x = nn.Dense(
+                self.hidden_dim, dtype=self.dtype,
+                kernel_init=default_kernel_init, name="fc1",
+            )(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(
             out_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc2"

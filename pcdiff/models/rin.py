@@ -26,8 +26,10 @@ from .attention import (
     CrossAttention,
     LayerNorm,
     Mlp,
+    _LNParams,
     default_kernel_init,
     dot_product_attention,
+    fuse_ln_dense_enabled,
 )
 from .embeddings import timestep_embedding
 
@@ -52,16 +54,27 @@ class ComputeBlock(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        zn = LayerNorm(dtype=self.dtype, name="norm_z1")(z)
-        z = z + CrossAttention(
+        attn = CrossAttention(
             self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             attention_fn=self.attention_fn, name="attn",
-        )(zn, zn, deterministic=deterministic)
-        z = z + Mlp(
+        )
+        mlp = Mlp(
             int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
-        )(LayerNorm(dtype=self.dtype, name="norm_z2")(z), deterministic=deterministic)
+        )
+        if fuse_ln_dense_enabled():
+            ln1 = _LNParams(name="norm_z1")(z.shape[-1])
+            z = z + attn(z, z, deterministic=deterministic, q_ln=ln1, kv_ln=ln1)
+            ln2 = _LNParams(name="norm_z2")(z.shape[-1])
+            z = z + mlp(z, deterministic=deterministic, ln=ln2)
+        else:
+            zn = LayerNorm(dtype=self.dtype, name="norm_z1")(z)
+            z = z + attn(zn, zn, deterministic=deterministic)
+            z = z + mlp(
+                LayerNorm(dtype=self.dtype, name="norm_z2")(z),
+                deterministic=deterministic,
+            )
         return z
 
 
@@ -81,19 +94,31 @@ class ReadBlock(nn.Module):
     def __call__(
         self, z: jnp.ndarray, x: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        z = z + CrossAttention(
+        attn = CrossAttention(
             self.z_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             attention_fn=self.attention_fn, name="attn",
-        )(
-            LayerNorm(dtype=self.dtype, name="norm_z1")(z),
-            LayerNorm(dtype=self.dtype, name="norm_x")(x),
-            deterministic=deterministic,
         )
-        z = z + Mlp(
+        mlp = Mlp(
             int(self.z_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
-        )(LayerNorm(dtype=self.dtype, name="norm_z2")(z), deterministic=deterministic)
+        )
+        if fuse_ln_dense_enabled():
+            ln_z = _LNParams(name="norm_z1")(z.shape[-1])
+            ln_x = _LNParams(name="norm_x")(x.shape[-1])
+            z = z + attn(z, x, deterministic=deterministic, q_ln=ln_z, kv_ln=ln_x)
+            ln2 = _LNParams(name="norm_z2")(z.shape[-1])
+            z = z + mlp(z, deterministic=deterministic, ln=ln2)
+        else:
+            z = z + attn(
+                LayerNorm(dtype=self.dtype, name="norm_z1")(z),
+                LayerNorm(dtype=self.dtype, name="norm_x")(x),
+                deterministic=deterministic,
+            )
+            z = z + mlp(
+                LayerNorm(dtype=self.dtype, name="norm_z2")(z),
+                deterministic=deterministic,
+            )
         return z
 
 
@@ -113,19 +138,31 @@ class WriteBlock(nn.Module):
     def __call__(
         self, z: jnp.ndarray, x: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        x = x + CrossAttention(
+        attn = CrossAttention(
             self.x_dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             attention_fn=self.attention_fn, name="attn",
-        )(
-            LayerNorm(dtype=self.dtype, name="norm_x1")(x),
-            LayerNorm(dtype=self.dtype, name="norm_z")(z),
-            deterministic=deterministic,
         )
-        x = x + Mlp(
+        mlp = Mlp(
             int(self.x_dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
-        )(LayerNorm(dtype=self.dtype, name="norm_x2")(x), deterministic=deterministic)
+        )
+        if fuse_ln_dense_enabled():
+            ln_x = _LNParams(name="norm_x1")(x.shape[-1])
+            ln_z = _LNParams(name="norm_z")(z.shape[-1])
+            x = x + attn(x, z, deterministic=deterministic, q_ln=ln_x, kv_ln=ln_z)
+            ln2 = _LNParams(name="norm_x2")(x.shape[-1])
+            x = x + mlp(x, deterministic=deterministic, ln=ln2)
+        else:
+            x = x + attn(
+                LayerNorm(dtype=self.dtype, name="norm_x1")(x),
+                LayerNorm(dtype=self.dtype, name="norm_z")(z),
+                deterministic=deterministic,
+            )
+            x = x + mlp(
+                LayerNorm(dtype=self.dtype, name="norm_x2")(x),
+                deterministic=deterministic,
+            )
         return x
 
 

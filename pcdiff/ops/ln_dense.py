@@ -1,0 +1,267 @@
+"""Fused LayerNorm -> Dense projection(s) Pallas TPU kernel.
+
+Why: the round-2/3 device traces (docs/performance.md) show XLA's
+LayerNorm fusions co-dominating the sampler with attention (31.4 vs
+32.4 ms per denoiser call) at 3.5x their isolated cost: around each
+attention custom call XLA builds 3-output mega-fusions carrying the LN
+statistics, residuals, and gather tables with pessimal layouts. The fix
+is to fuse the LN INTO the projection(s) that consume it — every pre-LN
+in this framework feeds one or more Dense layers (q/k/v projections,
+MLP fc1) — so the normalized tensor never exists in HBM at all.
+
+Hard-won boundary lessons (round-3 trace of a naive 2D version, which
+LOST 2x end-to-end at kernel-level speed-of-light):
+
+- The kernel must consume the model's NATIVE [B, N, C] layout. An
+  ``x.reshape(B*N, C)`` is a real relayout copy whenever N is not a
+  sublane multiple (z-stream N=643), and padding B*N up to a block
+  multiple adds pad+slice copies: ~100 us/site of pure traffic.
+- Multiple projections of one normalized tensor must be SEPARATE kernel
+  outputs. A concatenated [.., 3C] output needs an XLA ``split`` whose
+  slices are materialized before the attention custom call.
+- Epilogues must ride along. A standalone ``gelu`` between two custom
+  calls materializes an f32 copy of the [B, N, 4C] MLP activation
+  (XLA kept the erfc result in f32 for the consuming fc2: 337 MB of
+  traffic, 1.25 ms/site). The kernel applies bias + exact-erf GELU on
+  the f32 accumulator in VMEM and writes only the compute-dtype result.
+- Constant output scales (the attention 1/sqrt(d) on q) fold into the
+  weights at trace time, killing one more elementwise pass.
+
+Numerics: fp32 fast-variance row statistics (flax
+``force_float32_reductions`` class), fp32 affine, cast to the compute
+dtype for the MXU, matmul with fp32 accumulation, bias + activation on
+the fp32 accumulator, single cast to the output dtype. At fp32 this is
+bit-class-identical to ``FusedLayerNorm`` + ``nn.Dense``; at bf16 the
+f32-epilogue is slightly MORE accurate than the unfused graph (which
+adds bias/gelu in bf16) — the bf16 path is quality-gated on the trained
+checkpoint, not bit-compared.
+
+Backward: custom VJP that recomputes through the reference XLA
+composition — gradient correctness is inherited from autodiff, no
+hand-derived formulas to drift.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "fused_ln_denses",
+    "set_lndense_backend",
+    "lndense_backend",
+    "use_ln_dense",
+]
+
+_BACKEND = "auto"  # auto | pallas | xla
+
+# Resident W panels + double-buffered row blocks must fit VMEM.
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def set_lndense_backend(name: str) -> None:
+    """Select the LN+Dense implementation: 'auto', 'pallas', or 'xla'."""
+    global _BACKEND
+    assert name in ("auto", "pallas", "xla")
+    _BACKEND = name
+
+
+def lndense_backend() -> str:
+    return _BACKEND
+
+
+def use_ln_dense(n: int, c: int, fs, dtype) -> bool:
+    """Trace-time dispatch decision for [B, N, C] @ [C, F_i] fused LN+Dense."""
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND != "pallas" and jax.default_backend() != "tpu":
+        return False
+    if c % 128 or any(f % 128 for f in fs):
+        return False  # lane-register alignment
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    fsum = sum(fs)
+    vmem = (
+        c * fsum * itemsize  # resident weight panels
+        + 2 * n * (c + fsum) * itemsize  # double-buffered in/out blocks
+        + 3 * n * c * 4  # fp32 x copy + normalized copy
+        + n * max(fs) * 4  # fp32 accumulator
+    )
+    return vmem <= _VMEM_BUDGET
+
+
+# XLA's f32 erf rational approximation (xla/client/lib/math.cc ErfImpl32),
+# reproduced because Mosaic has no erf lowering. Max error ~1 ulp over the
+# clamped [-4, 4] range; validated against lax.erf in tests.
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 0.000023547966471313185,
+             0.0010179625278914885, 0.014070470171167667,
+             0.11098505178285362, 0.49746925110067538, 1.0)
+
+
+def _poly(x, coeffs):
+    acc = jnp.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    return x * _poly(x2, _ERF_ALPHA) / _poly(x2, _ERF_BETA)
+
+
+def _apply_act(o32, act, erf=jax.lax.erf):
+    if act is None:
+        return o32
+    if act == "gelu":
+        # exact (erf) GELU, matching nn.gelu(approximate=False)
+        return o32 * 0.5 * (1.0 + erf(o32 * (2.0**-0.5)))
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _ln_denses_kernel(*refs, epsilon: float, mxu_dtype, acts, nw, has_bias):
+    x_ref, s_ref, b_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3:3 + nw]
+    bias_refs = refs[3 + nw:3 + nw + sum(has_bias)]
+    o_refs = refs[3 + nw + sum(has_bias):]
+
+    x = x_ref[0].astype(jnp.float32)  # [N, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    # fast variance max(0, E[x^2] - E[x]^2) — flax force_float32_reductions
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    y = y.astype(mxu_dtype)
+    bi = 0
+    for i, (w_ref, o_ref) in enumerate(zip(w_refs, o_refs)):
+        o32 = jax.lax.dot_general(
+            y, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_bias[i]:
+            o32 = o32 + bias_refs[bi][...].astype(jnp.float32)
+            bi += 1
+        o_ref[0] = _apply_act(o32, acts[i], erf=_erf_f32).astype(o_ref.dtype)
+
+
+def _pallas_ln_denses(x, scale, bias, kernels, biases, epsilon, out_dtype,
+                      acts):
+    b, n, c = x.shape
+    fs = tuple(k.shape[1] for k in kernels)
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+    has_bias = tuple(bb is not None for bb in biases)
+    kern = functools.partial(
+        _ln_denses_kernel, epsilon=epsilon, mxu_dtype=mxu_dtype,
+        acts=tuple(acts), nw=len(kernels), has_bias=has_bias,
+    )
+    in_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, scale.reshape(1, c), bias.reshape(1, c)]
+    for k in kernels:
+        in_specs.append(
+            pl.BlockSpec((c, k.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(k.astype(mxu_dtype))
+    for bb in biases:
+        if bb is not None:
+            in_specs.append(
+                pl.BlockSpec((1, bb.shape[0]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(bb.reshape(1, -1).astype(jnp.float32))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, n, f), out_dtype) for f in fs),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for f in fs),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_BUDGET,
+        ),
+    )(*operands)
+    return list(outs)
+
+
+def _xla_ln_denses(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
+    """Reference composition with the SAME math as the kernel: fp32 LN
+    stats/affine, compute-dtype matmul with fp32 accumulation, fp32
+    bias + activation epilogue, single cast out."""
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = y.astype(mxu_dtype)
+    outs = []
+    for k, bb, act in zip(kernels, biases, acts):
+        o32 = jax.lax.dot_general(
+            y, k.astype(mxu_dtype), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bb is not None:
+            o32 = o32 + bb.astype(jnp.float32)
+        outs.append(_apply_act(o32, act).astype(out_dtype))
+    return outs
+
+
+def _dispatch(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
+    if x.ndim == 3 and use_ln_dense(
+            x.shape[1], x.shape[2], [k.shape[1] for k in kernels], out_dtype):
+        return _pallas_ln_denses(
+            x, scale, bias, kernels, biases, epsilon, out_dtype, acts)
+    return _xla_ln_denses(
+        x, scale, bias, kernels, biases, epsilon, out_dtype, acts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_ln_denses(x, scale, bias, kernels, biases, epsilon, out_dtype,
+                    acts):
+    """``[act_i(LN(x; scale, bias, eps) @ K_i + b_i)]`` without
+    materializing LN(x).
+
+    x: [B, N, C]; kernels: tuple of [C, F_i]; biases: tuple of [F_i]
+    or None; acts: tuple of None | 'gelu'. Returns a list of
+    [B, N, F_i] arrays in ``out_dtype``. Dispatches to the in-VMEM
+    Pallas kernel on TPU for lane-aligned shapes, XLA otherwise.
+
+    To fold a constant output scale (e.g. attention's 1/sqrt(d) on q),
+    pre-scale that K_i and b_i at trace time — weights are loop-
+    invariant so XLA hoists the multiply out of sampler loops.
+    """
+    return _dispatch(x, scale, bias, tuple(kernels), tuple(biases), epsilon,
+                     out_dtype, tuple(acts))
+
+
+def _fwd(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
+    out = fused_ln_denses(x, scale, bias, kernels, biases, epsilon,
+                          out_dtype, acts)
+    return out, (x, scale, bias, tuple(kernels), tuple(biases))
+
+
+def _bwd(epsilon, out_dtype, acts, res, g):
+    x, scale, bias, kernels, biases = res
+
+    def ref(x_, s_, b_, ks_, bs_):
+        return _xla_ln_denses(x_, s_, b_, ks_, bs_, epsilon, out_dtype, acts)
+
+    _, vjp = jax.vjp(ref, x, scale, bias, kernels, biases)
+    return vjp(list(g))
+
+
+fused_ln_denses.defvjp(_fwd, _bwd)

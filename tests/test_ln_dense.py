@@ -1,0 +1,167 @@
+"""Fused LN+Dense kernel and module-graph fusion tests (CPU).
+
+The Pallas kernel runs in interpret mode; the module-level fusion flag is
+exercised with the XLA fallback, which is the same math. The load-bearing
+property: the fused graph and the plain pre-LN graph share ONE param tree
+(identical paths/shapes) and agree numerically, so weight-ported
+checkpoints behave identically under either dispatch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdiff.models import attention as attn_mod
+from pcdiff.ops import ln_dense as ld
+
+
+@pytest.fixture
+def fusion_on():
+    attn_mod.set_ln_dense_fusion("on")
+    yield
+    attn_mod.set_ln_dense_fusion("auto")
+
+
+def _ln_ref(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mean * mean, 0.0)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _mk(rng, b, n, c, fs, biases=(True, True, True)):
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ks = tuple(jnp.asarray(rng.standard_normal((c, f)), jnp.float32) * 0.1
+               for f in fs)
+    bs = tuple(
+        jnp.asarray(rng.standard_normal((f,)), jnp.float32) if use else None
+        for f, use in zip(fs, biases))
+    return x, scale, bias, ks, bs
+
+
+def test_pallas_ln_denses_matches_xla_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    # n=70: not a sublane multiple — exercises the ragged-N masking
+    b, n, c = 3, 70, 128
+    fs = (256, 128, 128)
+    acts = ("gelu", None, None)
+    x, scale, bias, ks, bs = _mk(rng, b, n, c, fs, biases=(True, False, True))
+    want = ld._xla_ln_denses(x, scale, bias, ks, bs, 1e-5, jnp.float32, acts)
+    with pltpu.force_tpu_interpret_mode():
+        got = ld._pallas_ln_denses(x, scale, bias, ks, bs, 1e-5, jnp.float32,
+                                   acts)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ln_denses_grads_match_composition(rng):
+    b, n, c = 2, 11, 64
+    fs = (96, 64)
+    acts = ("gelu", None)
+    x, scale, bias, ks, bs = _mk(rng, b, n, c, fs, biases=(True, True))
+
+    def loss_fused(x, s, b_, ks, bs):
+        outs = ld.fused_ln_denses(x, s, b_, ks, bs, 1e-5, jnp.float32, acts)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    def loss_ref(x, s, b_, ks, bs):
+        y = _ln_ref(x, s, b_, 1e-5)
+        tot = 0.0
+        h = y @ ks[0] + bs[0]
+        tot += jnp.sum(jax.nn.gelu(h, approximate=False) ** 2)
+        tot += jnp.sum((y @ ks[1] + bs[1]) ** 2)
+        return tot
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, scale, bias, ks, bs)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, scale, bias, ks, bs)
+    for a, b_ in zip(jax.tree_util.tree_leaves(got),
+                     jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("block_name", ["compute", "read", "write"])
+def test_rin_block_fusion_graph_parity(rng, block_name, fusion_on):
+    """Same params, fused vs plain graph: identical trees, equal outputs."""
+    from pcdiff.models.rin import ComputeBlock, ReadBlock, WriteBlock
+
+    B, Nz, Nx, C = 2, 13, 29, 64
+    z = jnp.asarray(rng.standard_normal((B, Nz, C)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, Nx, C)), jnp.float32)
+    if block_name == "compute":
+        mod = ComputeBlock(C, num_heads=4, qkv_bias=True, name=None)
+        args = (z,)
+    elif block_name == "read":
+        mod = ReadBlock(C, num_heads=4, qkv_bias=True)
+        args = (z, x)
+    else:
+        mod = WriteBlock(C, num_heads=4, qkv_bias=True)
+        args = (z, x)
+
+    variables = mod.init(jax.random.PRNGKey(0), *args)
+    out_fused = mod.apply(variables, *args)
+
+    attn_mod.set_ln_dense_fusion("off")
+    variables_plain = mod.init(jax.random.PRNGKey(0), *args)
+    out_plain = mod.apply(variables, *args)
+
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables_plain)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(variables_plain),
+    ):
+        assert pa == pb and a.shape == b.shape and a.dtype == b.dtype
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_backbone_fusion_parity_and_grads(rng, fusion_on):
+    """Full DenoiserBackbone: fused graph == plain graph on the same params,
+    forward AND a training-style gradient."""
+    from pcdiff.models.rin import DenoiserBackbone
+
+    kw = dict(num_z=8, num_x=32, z_dim=64, x_dim=64, num_blocks=2,
+              num_compute_layers=1, num_heads=4)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 32, 3)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((B, 5, 64)), jnp.float32)
+
+    model = DenoiserBackbone(**kw)
+    variables = model.init(jax.random.PRNGKey(1), x, t, cond)
+
+    def loss(v, model):
+        out, zlat = model.apply(v, x, t, cond)
+        return jnp.sum(out ** 2) + jnp.sum(zlat ** 2)
+
+    out_f, z_f = model.apply(variables, x, t, cond)
+    g_f = jax.grad(loss)(variables, model)
+
+    attn_mod.set_ln_dense_fusion("off")
+    out_p, z_p = model.apply(variables, x, t, cond)
+    g_p = jax.grad(loss)(variables, model)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p),
+                               rtol=2e-5, atol=2e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_f),
+        jax.tree_util.tree_leaves_with_path(g_p),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5,
+            err_msg=str(pa),
+        )
+
+
+def test_use_ln_dense_alignment_gate():
+    assert not ld.use_ln_dense(64, 130, [256], jnp.float32)  # c not aligned
+    assert not ld.use_ln_dense(64, 256, [130], jnp.float32)  # f not aligned
+    assert not ld.use_ln_dense(64, 256, [256], jnp.float16)  # bad dtype
