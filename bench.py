@@ -92,6 +92,13 @@ def main():
         from pcdiff.models.attention import set_ln_dense_fusion
 
         set_ln_dense_fusion(lndense_mode)
+    # exp-panel dtype inside the fused attention kernel (float32 default;
+    # bfloat16 is the quality-gated lever, docs/trained_gates.json).
+    softmax_dtype = os.environ.get("PCDIFF_BENCH_SOFTMAX", "float32")
+    if softmax_dtype != "float32":
+        from pcdiff.ops.flash_attention import set_attention_softmax_dtype
+
+        set_attention_softmax_dtype(softmax_dtype)
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,

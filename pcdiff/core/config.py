@@ -85,6 +85,10 @@ class ModelConfig:
     depth_image_size: int = 512
     depth_patch: int = 32
     compute_dtype: str = "float32"  # float32 | bfloat16
+    # exp-panel dtype inside the fused attention kernel (float32 |
+    # bfloat16); bfloat16 is a quality-gated throughput lever (see
+    # docs/trained_gates.json)
+    softmax_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -33,9 +33,12 @@ __all__ = [
     "fused_attention_mh",
     "set_attention_backend",
     "attention_backend",
+    "set_attention_softmax_dtype",
+    "attention_softmax_dtype",
 ]
 
 _BACKEND = "auto"  # auto | pallas | xla
+_SOFTMAX_DTYPE = "float32"  # float32 | bfloat16
 
 
 def set_attention_backend(name: str) -> None:
@@ -47,6 +50,21 @@ def set_attention_backend(name: str) -> None:
 
 def attention_backend() -> str:
     return _BACKEND
+
+
+def set_attention_softmax_dtype(name: str) -> None:
+    """Dtype of the softmax exp panel inside the MH kernel. 'bfloat16'
+    computes exp on the max-subtracted scores in bf16 (halves the VPU
+    transcendental + panel-pass cost); the normalizing sum and reciprocal
+    stay fp32. Numerics change — quality-gate on a trained checkpoint
+    before defaulting (docs/trained_gates.json)."""
+    global _SOFTMAX_DTYPE
+    assert name in ("float32", "bfloat16")
+    _SOFTMAX_DTYPE = name
+
+
+def attention_softmax_dtype() -> str:
+    return _SOFTMAX_DTYPE
 
 
 def _use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
@@ -160,13 +178,18 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
 _MH_VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, mxu_dtype):
+def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, mxu_dtype,
+               softmax_dtype=jnp.float32):
     """One batch row: all heads, whole KV panel resident, fp32 softmax.
 
     ``mxu_dtype=bfloat16`` feeds the MXU single-pass bf16 operands with fp32
     accumulation — the same arithmetic XLA's DEFAULT matmul precision uses
     for fp32 einsums on TPU, so this matches the XLA path's numerics class
     while tripling matmul throughput over multi-pass fp32.
+
+    ``softmax_dtype=bfloat16`` computes the exp panel in bf16 after the
+    fp32 max-subtraction (normalizing sum/reciprocal stay fp32); opt-in,
+    quality-gated (see set_attention_softmax_dtype).
     """
     hd = q_ref.shape[-1]
     d = hd // num_heads
@@ -179,10 +202,13 @@ def _mh_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, mxu_dtype):
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, NK] fp32
-        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        s = (s - jnp.max(s, axis=-1, keepdims=True)).astype(softmax_dtype)
+        p = jnp.exp(s)
         # normalize on the [BQ, D] output, not the [BQ, NK] panel — saves a
         # full panel read+write pass on the VPU
-        recip = pl.reciprocal(jnp.sum(p, axis=-1, keepdims=True), approx=False)
+        recip = pl.reciprocal(
+            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+            approx=False)
         o = jax.lax.dot_general(
             p.astype(mxu_dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -213,8 +239,11 @@ def _use_pallas_mh(q: jnp.ndarray, num_heads: int, nk: int) -> bool:
 def _pallas_attention_mh(q, k, v, num_heads: int, mxu_dtype=jnp.bfloat16):
     B, nq, hd = q.shape
     nk = k.shape[1]
+    softmax_dtype = (jnp.bfloat16 if _SOFTMAX_DTYPE == "bfloat16"
+                     else jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_mh_kernel, num_heads=num_heads, mxu_dtype=mxu_dtype),
+        functools.partial(_mh_kernel, num_heads=num_heads, mxu_dtype=mxu_dtype,
+                          softmax_dtype=softmax_dtype),
         out_shape=jax.ShapeDtypeStruct((B, nq, hd), q.dtype),
         grid=(B,),
         in_specs=[

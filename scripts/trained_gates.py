@@ -39,6 +39,10 @@ GATES = [
     # calls at the same sigma grid (65 vs 127 at 64 steps)
     ("reuse-64", ["sample.sampler=heun_reuse"]),
     ("reuse-32", ["sample.sampler=heun_reuse", "sample.karras_steps=32"]),
+    # bf16 exp panel inside the fused attention kernel (the scores already
+    # ride the MXU in bf16; this moves the softmax exp to bf16 too)
+    ("softmax-bf16", ["model.compute_dtype=bfloat16",
+                      "model.softmax_dtype=bfloat16"]),
 ]
 
 

@@ -66,6 +66,31 @@ def test_pallas_mh_kernel_matches_xla_interpret(rng, nq, nk, heads, hd):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_mh_bf16_softmax_panel(rng):
+    """Opt-in bf16 exp panel: close to the fp32 softmax (bf16-class
+    error), and the knob resets cleanly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nq, nk, heads, hd = 2, 127, 65, 4, 128
+    q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32)
+    want = fa._xla_attention_mh(q, k, v, heads)
+    try:
+        fa.set_attention_softmax_dtype("bfloat16")
+        assert fa.attention_softmax_dtype() == "bfloat16"
+        with pltpu.force_tpu_interpret_mode():
+            got = fa._pallas_attention_mh(q, k, v, heads,
+                                          mxu_dtype=jnp.float32)
+    finally:
+        fa.set_attention_softmax_dtype("float32")
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    # bf16 exp panel: relative error bounded by bf16 eps on the weights;
+    # outputs are convex combinations of v (|v| ~ N(0,1))
+    assert err.max() < 0.05, err.max()
+    assert np.sqrt((err ** 2).mean()) < 0.01
+
+
 def test_fused_attention_mh_matches_bhqd_layout(rng):
     """The mh layout must compute exactly the bhqd attention, reshaped."""
     B, H, Nq, Nk, D = 2, 4, 19, 31, 32
