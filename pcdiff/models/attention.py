@@ -107,11 +107,12 @@ class _DenseParams(nn.Module):
     features: int
     use_bias: bool = True
     param_dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
 
     @nn.compact
     def __call__(self, c: int):
         kernel = self.param(
-            "kernel", default_kernel_init, (c, self.features), self.param_dtype
+            "kernel", self.kernel_init, (c, self.features), self.param_dtype
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,),

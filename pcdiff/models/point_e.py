@@ -32,7 +32,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import LayerNorm
+from .attention import (
+    LayerNorm,
+    _DenseParams,
+    _LNParams,
+    _ln_dense_multi,
+    fuse_ln_dense_enabled,
+)
 from .embeddings import timestep_embedding
 
 __all__ = [
@@ -61,27 +67,50 @@ class PointEAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, ln=None) -> jnp.ndarray:
+        """With ``ln`` (an ``_LNParams`` tuple), ``x`` is UN-normalized and
+        the pre-LN is fused into the qkv projection. The checkpoint's
+        ``c_qkv`` kernel interleaves (q, k, v) PER HEAD ([C, H, 3, ch]
+        column order); the fused path de-interleaves it into head-major
+        wq/wk/wv panels at trace time (loop-invariant, hoisted by XLA), so
+        the param tree and torch-port layout are unchanged."""
         B, N, _ = x.shape
         H = self.heads
         ch = self.width // H
         scale = 1.0 / math.sqrt(math.sqrt(ch))
-        qkv = nn.Dense(
-            self.width * 3, dtype=self.dtype, kernel_init=_init(self.init_scale),
-            name="c_qkv",
-        )(x)
-        qkv = qkv.reshape(B, N, H, 3 * ch)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        # fused multi-head kernel in [B, N, H*D] layout; the reference's
-        # split scaling (q*s)(k*s) folds into the query as q*s^2
         from ..ops.flash_attention import fused_attention_mh
 
-        out = fused_attention_mh(
-            (q * (scale * scale)).reshape(B, N, self.width),
-            k.reshape(B, N, self.width),
-            v.reshape(B, N, self.width),
-            H,
-        )
+        if ln is not None:
+            c = x.shape[-1]
+            kernel, bias = _DenseParams(
+                self.width * 3, kernel_init=_init(self.init_scale),
+                name="c_qkv",
+            )(c)
+            k4 = kernel.reshape(c, H, 3, ch)
+            b4 = bias.reshape(H, 3, ch)
+            panels = [
+                (k4[:, :, i, :].reshape(c, self.width),
+                 b4[:, i, :].reshape(self.width))
+                for i in range(3)
+            ]
+            # the reference's split scaling (q*s)(k*s) folds into wq as s^2
+            q, k, v = _ln_dense_multi(
+                x, ln, panels, self.dtype,
+                out_scales=[scale * scale, None, None])
+            out = fused_attention_mh(q, k, v, H)
+        else:
+            qkv = nn.Dense(
+                self.width * 3, dtype=self.dtype,
+                kernel_init=_init(self.init_scale), name="c_qkv",
+            )(x)
+            qkv = qkv.reshape(B, N, H, 3 * ch)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = fused_attention_mh(
+                (q * (scale * scale)).reshape(B, N, self.width),
+                k.reshape(B, N, self.width),
+                v.reshape(B, N, self.width),
+                H,
+            )
         return nn.Dense(
             self.width, dtype=self.dtype, kernel_init=_init(self.init_scale),
             name="c_proj",
@@ -94,12 +123,20 @@ class PointEMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(
-            self.width * 4, dtype=self.dtype, kernel_init=_init(self.init_scale),
-            name="c_fc",
-        )(x)
-        h = nn.gelu(h, approximate=False)
+    def __call__(self, x: jnp.ndarray, *, ln=None) -> jnp.ndarray:
+        if ln is not None:
+            # pre-LN fused into c_fc with the exact-erf GELU epilogue
+            fc = _DenseParams(
+                self.width * 4, kernel_init=_init(self.init_scale),
+                name="c_fc",
+            )(x.shape[-1])
+            (h,) = _ln_dense_multi(x, ln, [fc], self.dtype, acts=["gelu"])
+        else:
+            h = nn.Dense(
+                self.width * 4, dtype=self.dtype,
+                kernel_init=_init(self.init_scale), name="c_fc",
+            )(x)
+            h = nn.gelu(h, approximate=False)
         return nn.Dense(
             self.width, dtype=self.dtype, kernel_init=_init(self.init_scale),
             name="c_proj",
@@ -114,12 +151,18 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + PointEAttention(
+        attn = PointEAttention(
             self.width, self.heads, self.init_scale, self.dtype, name="attn"
-        )(LayerNorm(dtype=self.dtype, name="ln_1")(x))
-        x = x + PointEMLP(
-            self.width, self.init_scale, self.dtype, name="mlp"
-        )(LayerNorm(dtype=self.dtype, name="ln_2")(x))
+        )
+        mlp = PointEMLP(self.width, self.init_scale, self.dtype, name="mlp")
+        if fuse_ln_dense_enabled():
+            ln1 = _LNParams(name="ln_1")(x.shape[-1])
+            x = x + attn(x, ln=ln1)
+            ln2 = _LNParams(name="ln_2")(x.shape[-1])
+            x = x + mlp(x, ln=ln2)
+        else:
+            x = x + attn(LayerNorm(dtype=self.dtype, name="ln_1")(x))
+            x = x + mlp(LayerNorm(dtype=self.dtype, name="ln_2")(x))
         return x
 
 

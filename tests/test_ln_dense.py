@@ -165,3 +165,41 @@ def test_use_ln_dense_alignment_gate():
     assert not ld.use_ln_dense(64, 130, [256], jnp.float32)  # c not aligned
     assert not ld.use_ln_dense(64, 256, [130], jnp.float32)  # f not aligned
     assert not ld.use_ln_dense(64, 256, [256], jnp.float16)  # bad dtype
+
+
+def test_point_e_block_fusion_graph_parity(rng, fusion_on):
+    """Point-E ResidualAttentionBlock: fused graph == plain graph on one
+    param tree (incl. the per-head qkv de-interleave), forward and grads."""
+    from pcdiff.models.point_e import ResidualAttentionBlock
+
+    B, N, W, H = 2, 17, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, N, W)), jnp.float32)
+    mod = ResidualAttentionBlock(W, H, init_scale=0.5)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(v):
+        return jnp.sum(mod.apply(v, x) ** 2)
+
+    out_f = mod.apply(variables, x)
+    g_f = jax.grad(loss)(variables)
+
+    attn_mod.set_ln_dense_fusion("off")
+    variables_plain = mod.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables_plain)
+    out_p = mod.apply(variables, x)
+    g_p = jax.grad(loss)(variables)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_f),
+        jax.tree_util.tree_leaves_with_path(g_p),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # leaf-scaled atol: the K-bias grad is analytically ~0 (softmax is
+        # shift-invariant per query), so both graphs produce cancellation
+        # noise there — compare against the leaf's magnitude, not zero
+        atol = 2e-4 * max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=atol,
+                                   err_msg=str(pa))
