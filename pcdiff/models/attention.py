@@ -225,7 +225,15 @@ class CrossAttention(nn.Module):
             else:
                 (q2,) = _ln_dense_multi(x_q, q_ln, [wq], self.dtype,
                                         out_scales=[scale])
-                k2, v2 = _ln_dense_multi(x_kv, kv_ln, [wk, wv], self.dtype)
+                if kv_ln is not None:
+                    k2, v2 = _ln_dense_multi(x_kv, kv_ln, [wk, wv], self.dtype)
+                else:
+                    # pre-normalized (or un-normalized-by-design) kv side,
+                    # e.g. decoder cross-attention over raw memory
+                    proj = lambda p: (
+                        x_kv.astype(self.dtype) @ p[0].astype(self.dtype)
+                        + (0 if p[1] is None else p[1].astype(self.dtype)))
+                    k2, v2 = proj(wk), proj(wv)
         else:
             dense = lambda name: nn.Dense(
                 self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -307,17 +315,25 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = CrossAttention(
+        attn = CrossAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=True,
             attn_drop=self.drop, proj_drop=0.0, dtype=self.dtype, name="self_attn",
-        )(h, h, deterministic=deterministic)
-        x = x + nn.Dropout(self.drop)(h, deterministic=deterministic)
-        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = Mlp(
+        )
+        mlp = Mlp(
             int(self.dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
-        )(h, deterministic=deterministic)
+        )
+        if fuse_ln_dense_enabled():
+            ln1 = _LNParams(name="norm1")(x.shape[-1])
+            h = attn(x, x, deterministic=deterministic, q_ln=ln1, kv_ln=ln1)
+            x = x + nn.Dropout(self.drop)(h, deterministic=deterministic)
+            ln2 = _LNParams(name="norm2")(x.shape[-1])
+            return x + mlp(x, deterministic=deterministic, ln=ln2)
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = attn(h, h, deterministic=deterministic)
+        x = x + nn.Dropout(self.drop)(h, deterministic=deterministic)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = mlp(h, deterministic=deterministic)
         return x + h
 
 
@@ -335,21 +351,37 @@ class DecoderLayer(nn.Module):
     def __call__(
         self, q: jnp.ndarray, memory: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = LayerNorm(dtype=self.dtype, name="norm1")(q)
-        h = CrossAttention(
+        self_attn = CrossAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=True,
             attn_drop=self.drop, proj_drop=0.0, dtype=self.dtype, name="self_attn",
-        )(h, h, deterministic=deterministic)
-        q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
-        h = LayerNorm(dtype=self.dtype, name="norm2")(q)
-        h = CrossAttention(
+        )
+        cross_attn = CrossAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=True,
             attn_drop=self.drop, proj_drop=0.0, dtype=self.dtype, name="cross_attn",
-        )(h, memory, deterministic=deterministic)
-        q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
-        h = LayerNorm(dtype=self.dtype, name="norm3")(q)
-        h = Mlp(
+        )
+        mlp = Mlp(
             int(self.dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
             name="mlp",
-        )(h, deterministic=deterministic)
+        )
+        if fuse_ln_dense_enabled():
+            ln1 = _LNParams(name="norm1")(q.shape[-1])
+            h = self_attn(q, q, deterministic=deterministic, q_ln=ln1,
+                          kv_ln=ln1)
+            q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
+            ln2 = _LNParams(name="norm2")(q.shape[-1])
+            # memory is un-normalized by design (torch norm_first decoder):
+            # only the query side carries a pre-LN
+            h = cross_attn(q, memory, deterministic=deterministic, q_ln=ln2,
+                           kv_ln=None)
+            q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
+            ln3 = _LNParams(name="norm3")(q.shape[-1])
+            return q + mlp(q, deterministic=deterministic, ln=ln3)
+        h = LayerNorm(dtype=self.dtype, name="norm1")(q)
+        h = self_attn(h, h, deterministic=deterministic)
+        q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(q)
+        h = cross_attn(h, memory, deterministic=deterministic)
+        q = q + nn.Dropout(self.drop)(h, deterministic=deterministic)
+        h = LayerNorm(dtype=self.dtype, name="norm3")(q)
+        h = mlp(h, deterministic=deterministic)
         return q + h

@@ -203,3 +203,31 @@ def test_point_e_block_fusion_graph_parity(rng, fusion_on):
         atol = 2e-4 * max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=atol,
                                    err_msg=str(pa))
+
+
+@pytest.mark.parametrize("layer", ["encoder", "decoder"])
+def test_encoder_decoder_layer_fusion_graph_parity(rng, layer, fusion_on):
+    """Conditioning encoder/decoder layers: fused == plain on one tree
+    (decoder cross-attention keeps memory un-normalized by design)."""
+    from pcdiff.models.attention import DecoderLayer, EncoderLayer
+
+    B, N, M, C = 2, 19, 11, 64
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((B, M, C)), jnp.float32)
+    if layer == "encoder":
+        mod = EncoderLayer(C, num_heads=4, drop=0.0)
+        args = (x,)
+    else:
+        mod = DecoderLayer(C, num_heads=4, drop=0.0)
+        args = (x, mem)
+
+    variables = mod.init(jax.random.PRNGKey(0), *args)
+    out_f = mod.apply(variables, *args)
+
+    attn_mod.set_ln_dense_fusion("off")
+    variables_plain = mod.init(jax.random.PRNGKey(0), *args)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables_plain)
+    out_p = mod.apply(variables, *args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
