@@ -231,3 +231,24 @@ def test_encoder_decoder_layer_fusion_graph_parity(rng, layer, fusion_on):
     out_p = mod.apply(variables, *args)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_perceiver_block_fusion_graph_parity(rng, fusion_on):
+    """SimplePerceiver cross-attention block: fused == plain on one tree
+    (c_kv per-head (k, v) de-interleave, s^2 query-scale fold)."""
+    from pcdiff.models.perceiver import ResidualCrossAttentionBlock
+
+    B, Nq, Nd, W, H = 2, 9, 23, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, Nq, W)), jnp.float32)
+    data = jnp.asarray(rng.standard_normal((B, Nd, W)), jnp.float32)
+    mod = ResidualCrossAttentionBlock(W, H, init_scale=0.5)
+    variables = mod.init(jax.random.PRNGKey(0), x, data)
+    out_f = mod.apply(variables, x, data)
+
+    attn_mod.set_ln_dense_fusion("off")
+    variables_plain = mod.init(jax.random.PRNGKey(0), x, data)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables_plain)
+    out_p = mod.apply(variables, x, data)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
