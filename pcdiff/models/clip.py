@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .attention import (
+    _DenseParams,
+    _LNParams,
+    _ln_dense_multi,
+    fuse_ln_dense_enabled,
+)
+
 __all__ = [
     "CLIPConfig",
     "CLIP_CONFIGS",
@@ -88,18 +95,36 @@ class _CLIPAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 *, ln=None):
+        """With ``ln``, ``x`` is UN-normalized and the pre-LN fuses into
+        in_proj (contiguous-thirds qkv; 1/sqrt(Dh) folded into the q
+        panel). Works for both the unmasked vision path and the masked
+        text path (the projection fuses either way)."""
         B, N, _ = x.shape
         H, Dh = self.heads, self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if ln is not None:
+            c = x.shape[-1]
+            kernel, bias = _DenseParams(
+                3 * self.width, kernel_init=nn.initializers.lecun_normal(),
+                name="in_proj",
+            )(c)
+            W = self.width
+            panels = [(kernel[:, i * W:(i + 1) * W], bias[i * W:(i + 1) * W])
+                      for i in range(3)]
+            q, k, v = _ln_dense_multi(x, ln, panels, self.dtype,
+                                      out_scales=[Dh**-0.5, None, None])
+        else:
+            qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q * (Dh**-0.5)
         if mask is None:
             # vision tower: unmasked -> fused multi-head kernel
             from ..ops.flash_attention import fused_attention_mh
 
-            out = fused_attention_mh(q * (Dh**-0.5), k, v, H)
+            out = fused_attention_mh(q, k, v, H)
         else:
-            q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3) * (Dh**-0.5)
+            q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
             k = k.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
             v = v.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -118,12 +143,25 @@ class _CLIPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        x = x + _CLIPAttention(self.width, self.heads, self.dtype, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x), mask
-        )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
-        h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
-        h = quick_gelu(h)
+        attn = _CLIPAttention(self.width, self.heads, self.dtype, name="attn")
+        if fuse_ln_dense_enabled():
+            ln1 = _LNParams(name="ln_1")(x.shape[-1])
+            x = x + attn(x, mask, ln=ln1)
+            ln2 = _LNParams(name="ln_2")(x.shape[-1])
+            fc = _DenseParams(
+                self.width * 4, kernel_init=nn.initializers.lecun_normal(),
+                name="c_fc",
+            )(x.shape[-1])
+            (h,) = _ln_dense_multi(x, ln2, [fc], self.dtype,
+                                   acts=["quick_gelu"])
+        else:
+            x = x + attn(
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x),
+                mask,
+            )
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+            h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
+            h = quick_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
         return x + h
 

@@ -124,6 +124,10 @@ def _apply_act(o32, act, erf=jax.lax.erf):
     if act == "gelu":
         # exact (erf) GELU, matching nn.gelu(approximate=False)
         return o32 * 0.5 * (1.0 + erf(o32 * (2.0**-0.5)))
+    if act == "quick_gelu":
+        # x * sigmoid(1.702 x) (CLIP), via exp (Mosaic has no logistic):
+        # saturates correctly at f32 inf/0 for large +-x
+        return o32 / (1.0 + jnp.exp(-1.702 * o32))
     raise ValueError(f"unknown activation {act!r}")
 
 

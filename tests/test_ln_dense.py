@@ -252,3 +252,36 @@ def test_perceiver_block_fusion_graph_parity(rng, fusion_on):
     out_p = mod.apply(variables, x, data)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_clip_block_fusion_graph_parity(rng, masked, fusion_on):
+    """CLIP block (quick_gelu MLP, contiguous-thirds in_proj): fused ==
+    plain on one tree, with and without the text-tower causal mask."""
+    from pcdiff.models.clip import _CLIPBlock
+
+    B, N, W, H = 2, 12, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, N, W)), jnp.float32)
+    mask = None
+    if masked:
+        mask = jnp.triu(jnp.full((N, N), -jnp.inf), k=1)[None, None]
+    mod = _CLIPBlock(W, H)
+    variables = mod.init(jax.random.PRNGKey(0), x, mask)
+    out_f = mod.apply(variables, x, mask)
+
+    attn_mod.set_ln_dense_fusion("off")
+    variables_plain = mod.init(jax.random.PRNGKey(0), x, mask)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(variables_plain)
+    out_p = mod.apply(variables, x, mask)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_quick_gelu_act_matches_reference(rng):
+    from pcdiff.models.clip import quick_gelu
+
+    x = jnp.asarray(rng.standard_normal((64,)) * 20, jnp.float32)
+    got = ld._apply_act(x, "quick_gelu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(quick_gelu(x)),
+                               rtol=1e-6, atol=1e-7)
