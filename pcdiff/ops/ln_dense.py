@@ -54,6 +54,8 @@ __all__ = [
     "fused_ln_denses",
     "set_lndense_backend",
     "lndense_backend",
+    "set_lndense_bwd_backend",
+    "lndense_bwd_backend",
     "use_ln_dense",
 ]
 
@@ -233,6 +235,186 @@ def _dispatch(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
         x, scale, bias, kernels, biases, epsilon, out_dtype, acts)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel: one pass per batch row computing dx and accumulating
+# dscale/dbias/dW_i/db_i across the (sequential) grid. Targets the train
+# step's 128 ms of backward LN/residual elementwise chains
+# (docs/performance.md "Training throughput"). Default backend is 'xla'
+# (the autodiff recompute through _xla_ln_denses) until the Pallas path is
+# A/B-measured on hardware — flip with set_lndense_bwd_backend.
+# ---------------------------------------------------------------------------
+
+_BWD_BACKEND = "xla"  # xla | pallas | auto (auto = pallas on TPU)
+
+
+def set_lndense_bwd_backend(name: str) -> None:
+    """Backward implementation for fused_ln_denses: 'xla' (autodiff
+    recompute, default), 'pallas' (in-VMEM fused backward), or 'auto'."""
+    global _BWD_BACKEND
+    assert name in ("xla", "pallas", "auto")
+    _BWD_BACKEND = name
+
+
+def lndense_bwd_backend() -> str:
+    return _BWD_BACKEND
+
+
+def _act_grad(z32, act):
+    """d act(z) / dz at f32, matching the composition's autodiff class."""
+    if act is None:
+        return None
+    if act == "gelu":
+        phi = jnp.exp(z32 * z32 * -0.5) * 0.3989422804014327  # 1/sqrt(2*pi)
+        cdf = 0.5 * (1.0 + _erf_f32(z32 * (2.0**-0.5)))
+        return cdf + z32 * phi
+    if act == "quick_gelu":
+        s = 1.0 / (1.0 + jnp.exp(-1.702 * z32))
+        return s * (1.0 + 1.702 * z32 * (1.0 - s))
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _ln_denses_bwd_kernel(*refs, epsilon: float, mxu_dtype, acts, nw,
+                          has_bias):
+    nb = sum(has_bias)
+    x_ref, s_ref, b_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3:3 + nw]
+    bias_refs = refs[3 + nw:3 + nw + nb]
+    g_refs = refs[3 + nw + nb:3 + 2 * nw + nb]
+    outs = refs[3 + 2 * nw + nb:]
+    dx_ref, dscale_ref, dbias_ref = outs[0], outs[1], outs[2]
+    dw_refs = outs[3:3 + nw]
+    db_refs = outs[3 + nw:]
+
+    first = pl.program_id(0) == 0
+
+    x = x_ref[0].astype(jnp.float32)  # [N, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + epsilon)
+    xhat = (x - mean) * rstd
+    s32 = s_ref[...].astype(jnp.float32)
+    y32 = xhat * s32 + b_ref[...].astype(jnp.float32)
+    y = y32.astype(mxu_dtype)
+
+    dy = jnp.zeros_like(x)
+    bi = 0
+    for i in range(nw):
+        w = w_refs[i][...]
+        g32 = g_refs[i][0].astype(jnp.float32)  # [N, F]
+        if acts[i] is not None:
+            z = jax.lax.dot_general(
+                y, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if has_bias[i]:
+                z = z + bias_refs[bi][...].astype(jnp.float32)
+            g32 = g32 * _act_grad(z, acts[i])
+        gz = g32.astype(mxu_dtype)
+        if has_bias[i]:
+            db = jnp.sum(g32, axis=0, keepdims=True)  # [1, F]
+            db_refs[bi][...] = jnp.where(first, db, db_refs[bi][...] + db)
+            bi += 1
+        dw = jax.lax.dot_general(  # y^T @ gz -> [C, F]
+            y, gz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_refs[i][...] = jnp.where(first, dw, dw_refs[i][...] + dw)
+        dy = dy + jax.lax.dot_general(  # gz @ W^T -> [N, C]
+            gz, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    ds = jnp.sum(dy * xhat, axis=0, keepdims=True)  # [1, C]
+    dbb = jnp.sum(dy, axis=0, keepdims=True)
+    dscale_ref[...] = jnp.where(first, ds, dscale_ref[...] + ds)
+    dbias_ref[...] = jnp.where(first, dbb, dbias_ref[...] + dbb)
+
+    dxhat = dy * s32
+    c = x.shape[-1]
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _pallas_ln_denses_bwd(x, scale, bias, kernels, biases, g, epsilon,
+                          out_dtype, acts):
+    b, n, c = x.shape
+    fs = tuple(k.shape[1] for k in kernels)
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+    has_bias = tuple(bb is not None for bb in biases)
+    kern = functools.partial(
+        _ln_denses_bwd_kernel, epsilon=epsilon, mxu_dtype=mxu_dtype,
+        acts=tuple(acts), nw=len(kernels), has_bias=has_bias,
+    )
+    in_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, scale.reshape(1, c), bias.reshape(1, c)]
+    for k in kernels:
+        in_specs.append(pl.BlockSpec((c, k.shape[1]), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(k.astype(mxu_dtype))
+    for bb in biases:
+        if bb is not None:
+            in_specs.append(pl.BlockSpec((1, bb.shape[0]), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(bb.reshape(1, -1).astype(jnp.float32))
+    for gi, f in zip(g, fs):
+        in_specs.append(pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gi)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),  # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),  # dscale
+        jax.ShapeDtypeStruct((1, c), jnp.float32),  # dbias
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for f in fs:
+        out_shape.append(jax.ShapeDtypeStruct((c, f), jnp.float32))
+        out_specs.append(pl.BlockSpec((c, f), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for f, hb in zip(fs, has_bias):
+        if hb:
+            out_shape.append(jax.ShapeDtypeStruct((1, f), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, f), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            # sequential grid: weight-grad blocks accumulate across cells
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_BUDGET,
+        ),
+    )(*operands)
+    dx, dscale, dbias = outs[0], outs[1], outs[2]
+    dws = list(outs[3:3 + len(kernels)])
+    dbs_present = list(outs[3 + len(kernels):])
+    dbs = []
+    for hb in has_bias:
+        dbs.append(dbs_present.pop(0).reshape(-1) if hb else None)
+    return (dx, dscale.reshape(-1), dbias.reshape(-1), tuple(dws),
+            tuple(dbs))
+
+
+def _use_bwd_pallas(x, kernels, out_dtype) -> bool:
+    if _BWD_BACKEND == "xla":
+        return False
+    if _BWD_BACKEND != "pallas" and jax.default_backend() != "tpu":
+        return False
+    return x.ndim == 3 and use_ln_dense(
+        x.shape[1], x.shape[2], [k.shape[1] for k in kernels], out_dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_ln_denses(x, scale, bias, kernels, biases, epsilon, out_dtype,
                     acts):
@@ -260,6 +442,10 @@ def _fwd(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
 
 def _bwd(epsilon, out_dtype, acts, res, g):
     x, scale, bias, kernels, biases = res
+    if _use_bwd_pallas(x, kernels, out_dtype):
+        return _pallas_ln_denses_bwd(
+            x, scale, bias, kernels, biases, list(g), epsilon, out_dtype,
+            acts)
 
     def ref(x_, s_, b_, ks_, bs_):
         return _xla_ln_denses(x_, s_, b_, ks_, bs_, epsilon, out_dtype, acts)

@@ -285,3 +285,66 @@ def test_quick_gelu_act_matches_reference(rng):
     got = ld._apply_act(x, "quick_gelu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(quick_gelu(x)),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_ln_denses_bwd_matches_autodiff(rng):
+    """Fused Pallas backward (interpret) == autodiff through the XLA
+    composition: dx, dscale, dbias, per-output dW/db, with activation
+    epilogues, a biasless output, and ragged N."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = 3, 70, 128
+    fs = (256, 128, 128)
+    acts = ("gelu", None, "quick_gelu")
+    x, scale, bias, ks, bs = _mk(rng, b, n, c, fs, biases=(True, False, True))
+    g = [jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32) for f in fs]
+
+    def ref(x_, s_, b_, ks_, bs_):
+        return ld._xla_ln_denses(x_, s_, b_, ks_, bs_, 1e-5, jnp.float32,
+                                 acts)
+
+    _, vjp = jax.vjp(ref, x, scale, bias, ks, bs)
+    want = vjp(list(g))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = ld._pallas_ln_denses_bwd(x, scale, bias, ks, bs, g, 1e-5,
+                                       jnp.float32, acts)
+    names = ["dx", "dscale", "dbias", "dW", "db"]
+    for name, a, w in zip(names, got, want):
+        for al, wl in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(w)):
+            np.testing.assert_allclose(
+                np.asarray(al), np.asarray(wl), rtol=2e-4,
+                atol=2e-4 * max(1.0, float(np.abs(np.asarray(wl)).max())),
+                err_msg=name)
+
+
+def test_lndense_bwd_dispatch_through_custom_vjp(rng):
+    """backend='pallas' routes the custom VJP through the fused backward
+    (interpret mode) and matches the default XLA recompute path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = 2, 16, 128
+    fs = (128,)
+    acts = ("gelu",)
+    x, scale, bias, ks, bs = _mk(rng, b, n, c, fs, biases=(True,))
+
+    def loss(x, s, b_, ks, bs):
+        outs = ld.fused_ln_denses(x, s, b_, ks, bs, 1e-5, jnp.float32, acts)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    want = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, scale, bias, ks, bs)
+    try:
+        ld.set_lndense_backend("pallas")
+        ld.set_lndense_bwd_backend("pallas")
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                x, scale, bias, ks, bs)
+    finally:
+        ld.set_lndense_backend("auto")
+        ld.set_lndense_bwd_backend("xla")
+    for a, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-4,
+            atol=2e-4 * max(1.0, float(np.abs(np.asarray(w)).max())))
