@@ -42,6 +42,16 @@ def main() -> None:
     if "--xla-attn" in sys.argv:
         ops.flash_attention.set_attention_backend("xla")
         mode = "xla-attn"
+    if "--lndense-off" in sys.argv:
+        from pcdiff.models.attention import set_ln_dense_fusion
+
+        set_ln_dense_fusion("off")
+        mode = "lndense-off"
+    if "--lndense-bwd" in sys.argv:
+        from pcdiff.ops.ln_dense import set_lndense_bwd_backend
+
+        set_lndense_bwd_backend("auto")
+        mode = "lndense-bwd"
 
     B, N = 32, 1024
     model = TwoStreamDenoiser(
