@@ -99,6 +99,10 @@ def main():
         from pcdiff.ops.flash_attention import set_attention_softmax_dtype
 
         set_attention_softmax_dtype(softmax_dtype)
+    # ODE solver (heun default = the headline program; heun_reuse is the
+    # PFDiff-style past-score-reuse variant, quality-gated in
+    # docs/trained_gates.json, ~2x fewer denoiser calls per step grid).
+    sampler_name = os.environ.get("PCDIFF_BENCH_SAMPLER", "heun")
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
@@ -128,6 +132,7 @@ def main():
         num_points=[NUM_POINTS], aux_channels=[], guidance_scale=[3.0],
         clip_denoised=True, use_karras=[True], karras_steps=[STEPS],
         sigma_min=[1e-3], sigma_max=[120.0], s_churn=[0.0],
+        sampler=sampler_name,
     )
 
     run = jax.jit(
@@ -154,17 +159,18 @@ def main():
     dt = sum(times) / len(times)
 
     clouds_per_sec = B / dt
+    solver_tag = "" if sampler_name == "heun" else f"_{sampler_name}"
     record = {
-        "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg",
+        "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg{solver_tag}",
         "value": round(clouds_per_sec, 4),
         "unit": "clouds/sec",
         "dtype": dtype_name,
         "steps": STEPS,
         "wall_s": round(time.perf_counter() - t_start, 1),
     }
-    # The reference baseline is the 64-step setting; other step counts
-    # have no apples-to-apples baseline ratio.
-    if STEPS == 64:
+    # The reference baseline is the 64-step Heun setting; other step
+    # counts or solvers have no apples-to-apples baseline ratio.
+    if STEPS == 64 and sampler_name == "heun":
         record["vs_baseline"] = round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2)
     else:
         record["vs_baseline"] = None
