@@ -33,6 +33,30 @@ def _entropy_seed(bits: int = 31) -> int:
     return int.from_bytes(os.urandom(8), "little") % (2**bits)
 
 
+def make_record(clouds_per_sec: float, steps: int, dtype_name: str,
+                sampler_name: str, wall_s: float) -> dict:
+    """The one JSON line the driver parses. Pure so tests can pin it.
+
+    vs_baseline is only meaningful for the reference's own setting
+    (64-step Heun, BASELINE.md); any other step count or solver reports
+    null there and tags the metric name so records stay apples-to-apples.
+    """
+    solver_tag = "" if sampler_name == "heun" else f"_{sampler_name}"
+    record = {
+        "metric": f"sampling_throughput_1024pt_{steps}step_cfg{solver_tag}",
+        "value": round(clouds_per_sec, 4),
+        "unit": "clouds/sec",
+        "dtype": dtype_name,
+        "steps": steps,
+        "wall_s": round(wall_s, 1),
+    }
+    if steps == 64 and sampler_name == "heun":
+        record["vs_baseline"] = round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2)
+    else:
+        record["vs_baseline"] = None
+    return record
+
+
 def main():
     t_start = time.perf_counter()
     # Soft wall-clock budget: stop timing (not mid-compile — compiles are
@@ -159,21 +183,8 @@ def main():
     dt = sum(times) / len(times)
 
     clouds_per_sec = B / dt
-    solver_tag = "" if sampler_name == "heun" else f"_{sampler_name}"
-    record = {
-        "metric": f"sampling_throughput_1024pt_{STEPS}step_cfg{solver_tag}",
-        "value": round(clouds_per_sec, 4),
-        "unit": "clouds/sec",
-        "dtype": dtype_name,
-        "steps": STEPS,
-        "wall_s": round(time.perf_counter() - t_start, 1),
-    }
-    # The reference baseline is the 64-step Heun setting; other step
-    # counts or solvers have no apples-to-apples baseline ratio.
-    if STEPS == 64 and sampler_name == "heun":
-        record["vs_baseline"] = round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2)
-    else:
-        record["vs_baseline"] = None
+    record = make_record(clouds_per_sec, STEPS, dtype_name, sampler_name,
+                         time.perf_counter() - t_start)
     print(json.dumps(record))
 
 

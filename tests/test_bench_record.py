@@ -1,0 +1,54 @@
+"""Pin bench.py's driver-facing JSON record.
+
+BENCH_r*.json is the round's official performance artifact; these tests
+pin the metric name, the vs_baseline guard (64-step Heun only — the only
+setting with an apples-to-apples reference baseline, BASELINE.md), and
+JSON-serializability, so env-knob additions can't silently corrupt the
+record the driver parses.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # module body imports only stdlib + numpy
+    return mod
+
+
+def test_default_headline_record(bench):
+    rec = bench.make_record(3.7, 64, "bfloat16", "heun", 500.0)
+    assert rec["metric"] == "sampling_throughput_1024pt_64step_cfg"
+    assert rec["value"] == 3.7
+    assert rec["unit"] == "clouds/sec"
+    assert rec["dtype"] == "bfloat16"
+    assert rec["steps"] == 64
+    assert rec["wall_s"] == 500.0
+    assert rec["vs_baseline"] == round(3.7 / (32.0 / 276.0), 2)
+    json.dumps(rec)  # one parseable line is the whole contract
+
+
+def test_fast_preset_has_no_baseline_ratio(bench):
+    rec = bench.make_record(7.08, 32, "bfloat16", "heun", 400.0)
+    assert rec["metric"] == "sampling_throughput_1024pt_32step_cfg"
+    assert rec["vs_baseline"] is None
+
+
+def test_non_heun_solver_tags_metric_and_nulls_ratio(bench):
+    rec = bench.make_record(8.0, 64, "bfloat16", "heun_reuse", 450.0)
+    assert rec["metric"] == "sampling_throughput_1024pt_64step_cfg_heun_reuse"
+    assert rec["vs_baseline"] is None
+    json.dumps(rec)
+
+
+def test_value_rounding(bench):
+    rec = bench.make_record(4.130001, 64, "float32", "heun", 501.96)
+    assert rec["value"] == 4.13
+    assert rec["wall_s"] == 502.0
