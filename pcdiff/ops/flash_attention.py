@@ -277,7 +277,18 @@ def _xla_attention_mh(q, k, v, num_heads: int):
     vh = _split_heads(v, num_heads)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if _SOFTMAX_DTYPE == "bfloat16":
+        # Same numerics class as the Pallas kernel's opt-in bf16 exp panel
+        # (set_attention_softmax_dtype): exp on the fp32 max-subtracted
+        # scores in bf16; the normalizing sum stays fp32. Keeps the
+        # quality gate meaningful on shapes the kernel rejects (d % 32).
+        s = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(s.astype(jnp.bfloat16))
+        w = (p.astype(jnp.float32)
+             / jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True))
+        w = w.astype(q.dtype)
+    else:
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
     return out.reshape(q.shape)
 

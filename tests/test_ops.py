@@ -91,6 +91,28 @@ def test_pallas_mh_bf16_softmax_panel(rng):
     assert np.sqrt((err ** 2).mean()) < 0.01
 
 
+def test_xla_mh_bf16_softmax_panel(rng):
+    """The bf16 exp-panel knob must also apply on the XLA MH path (shapes
+    the Pallas kernel rejects, e.g. head_dim 16, fall back to XLA; the
+    quality gate would otherwise silently measure a no-op — found when a
+    trained-checkpoint gate came back bit-identical to its baseline)."""
+    B, nq, nk, heads, hd = 2, 63, 33, 8, 128  # head_dim 16: kernel-rejected
+    assert not fa._use_pallas_mh(
+        jnp.zeros((B, nq, hd), jnp.float32), heads, nk)
+    q = jnp.asarray(rng.standard_normal((B, nq, hd)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((B, nk, hd)), jnp.float32)
+    want = fa._xla_attention_mh(q, k, v, heads)
+    try:
+        fa.set_attention_softmax_dtype("bfloat16")
+        got = fa._xla_attention_mh(q, k, v, heads)
+    finally:
+        fa.set_attention_softmax_dtype("float32")
+    diff = np.abs(np.asarray(got) - np.asarray(want))
+    assert diff.max() > 0, "knob must change the XLA-path program"
+    assert diff.max() < 0.05, diff.max()  # bf16-class error only
+
+
 def test_fused_attention_mh_matches_bhqd_layout(rng):
     """The mh layout must compute exactly the bhqd attention, reshaped."""
     B, H, Nq, Nk, D = 2, 4, 19, 31, 32
