@@ -239,17 +239,21 @@ def _dispatch(x, scale, bias, kernels, biases, epsilon, out_dtype, acts):
 # Backward kernel: one pass per batch row computing dx and accumulating
 # dscale/dbias/dW_i/db_i across the (sequential) grid. Targets the train
 # step's 128 ms of backward LN/residual elementwise chains
-# (docs/performance.md "Training throughput"). Default backend is 'xla'
-# (the autodiff recompute through _xla_ln_denses) until the Pallas path is
-# A/B-measured on hardware — flip with set_lndense_bwd_backend.
+# (docs/performance.md "Training throughput"). Default 'auto' = Pallas on
+# TPU: A/B-measured on hardware it is BOTH faster (487 -> 384.5 ms/step on
+# the flagship train step) and smaller — the XLA autodiff recompute through
+# the fused-forward custom call pins residuals XLA can no longer
+# rematerialize, which OOMs the flagship B=32 train step on a 16 GB v5e
+# (15.95 G needed). Flip with set_lndense_bwd_backend("xla") to reproduce.
 # ---------------------------------------------------------------------------
 
-_BWD_BACKEND = "xla"  # xla | pallas | auto (auto = pallas on TPU)
+_BWD_BACKEND = "auto"  # xla | pallas | auto (auto = pallas on TPU)
 
 
 def set_lndense_bwd_backend(name: str) -> None:
-    """Backward implementation for fused_ln_denses: 'xla' (autodiff
-    recompute, default), 'pallas' (in-VMEM fused backward), or 'auto'."""
+    """Backward implementation for fused_ln_denses: 'auto' (default:
+    in-VMEM Pallas backward on TPU, autodiff recompute elsewhere),
+    'pallas' (force), or 'xla' (autodiff recompute)."""
     global _BWD_BACKEND
     assert name in ("xla", "pallas", "auto")
     _BWD_BACKEND = name

@@ -47,11 +47,18 @@ def main() -> None:
 
         set_ln_dense_fusion("off")
         mode = "lndense-off"
-    if "--lndense-bwd" in sys.argv:
+    if "--lndense-bwd" in sys.argv:  # kept for reproducing old logs
         from pcdiff.ops.ln_dense import set_lndense_bwd_backend
 
         set_lndense_bwd_backend("auto")
         mode = "lndense-bwd"
+    if "--xla-lndense-bwd" in sys.argv:
+        # ablation: the autodiff recompute through the fused forward —
+        # OOMs the flagship step on a 16 GB chip (docs/performance.md)
+        from pcdiff.ops.ln_dense import set_lndense_bwd_backend
+
+        set_lndense_bwd_backend("xla")
+        mode = "xla-lndense-bwd"
 
     B, N = 32, 1024
     model = TwoStreamDenoiser(

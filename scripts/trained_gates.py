@@ -43,6 +43,11 @@ GATES = [
     # ride the MXU in bf16; this moves the softmax exp to bf16 too)
     ("softmax-bf16", ["model.compute_dtype=bfloat16",
                       "model.softmax_dtype=bfloat16"]),
+    # The combined flagship preset gated AS A UNIT (levers can interact):
+    # bf16 activations + PFDiff-style score reuse — the headline bench's
+    # default program (bf16 softmax measured throughput-neutral, not used).
+    ("bf16-reuse", ["model.compute_dtype=bfloat16",
+                    "sample.sampler=heun_reuse"]),
 ]
 
 

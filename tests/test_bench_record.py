@@ -41,11 +41,22 @@ def test_fast_preset_has_no_baseline_ratio(bench):
     assert rec["vs_baseline"] is None
 
 
-def test_non_heun_solver_tags_metric_and_nulls_ratio(bench):
+def test_reuse_solver_tags_metric_and_keeps_ratio(bench):
+    # heun_reuse is quality-gated neutral at the same 64-step sigma grid
+    # (docs/trained_gates.json "bf16-reuse"), so the task-level baseline
+    # ratio applies; the metric name still discloses the solver.
     rec = bench.make_record(8.0, 64, "bfloat16", "heun_reuse", 450.0)
     assert rec["metric"] == "sampling_throughput_1024pt_64step_cfg_heun_reuse"
-    assert rec["vs_baseline"] is None
+    assert rec["vs_baseline"] == round(8.0 / (32.0 / 276.0), 2)
     json.dumps(rec)
+
+
+def test_other_solvers_null_ratio(bench):
+    rec = bench.make_record(8.0, 64, "bfloat16", "heun_parallel", 450.0)
+    assert rec["metric"] == "sampling_throughput_1024pt_64step_cfg_heun_parallel"
+    assert rec["vs_baseline"] is None
+    rec = bench.make_record(9.0, 32, "bfloat16", "heun_reuse", 450.0)
+    assert rec["vs_baseline"] is None  # reuse at a different grid: no ratio
 
 
 def test_value_rounding(bench):
