@@ -137,6 +137,14 @@ def main():
     # vs heun-bf16 0.003490). PCDIFF_BENCH_SAMPLER=heun reproduces the
     # reference's exact solver (4.13 clouds/s round-3 record).
     sampler_name = os.environ.get("PCDIFF_BENCH_SAMPLER", "heun_reuse")
+    # Opt-in CFG interval (arXiv:2404.07724): "lo,hi" -> uncond branch only
+    # runs while sigma is inside [lo, hi]. Tags the metric (and nulls
+    # vs_baseline) until it is quality-gated and made a default.
+    gi_env = os.environ.get("PCDIFF_BENCH_GUIDANCE_INTERVAL", "")
+    guidance_interval = None
+    if gi_env:
+        lo, hi = (float(v) for v in gi_env.split(","))
+        guidance_interval = (lo, hi)
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
@@ -167,7 +175,10 @@ def main():
         clip_denoised=True, use_karras=[True], karras_steps=[STEPS],
         sigma_min=[1e-3], sigma_max=[120.0], s_churn=[0.0],
         sampler=sampler_name,
+        guidance_interval=guidance_interval,
     )
+    if guidance_interval is not None:
+        sampler_name = f"{sampler_name}_gi{gi_env.replace(',', '-')}"
 
     run = jax.jit(
         lambda key: sampler.sample_batch(B, batch, key)

@@ -80,6 +80,11 @@ def main(cfg: Config) -> dict:
         sampler=cfg.sample.sampler,
         parallel_options=dict(window=cfg.sample.parallel_window,
                               tol=cfg.sample.parallel_tol),
+        guidance_interval=(
+            (cfg.sample.guidance_interval_lo, cfg.sample.guidance_interval_hi)
+            if cfg.sample.guidance_interval_hi > cfg.sample.guidance_interval_lo
+            else None
+        ),
     )
 
     dataset = ModelNetCompletion(cfg.data.h5_path, split="test")

@@ -124,6 +124,11 @@ class SampleConfig:
     sampler: str = "heun"
     parallel_window: int = 8
     parallel_tol: float = 1e-3
+    # CFG only while sigma is in [lo, hi] (arXiv:2404.07724); the
+    # unconditional branch is skipped outside the interval, cutting its
+    # cost. Disabled when hi <= lo (the default). heun/heun_reuse only.
+    guidance_interval_lo: float = 0.0
+    guidance_interval_hi: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -44,6 +44,8 @@ __all__ = [
     "sample_heun_reuse",
     "sample_dpm",
     "sample_euler_ancestral",
+    "sample_guided_interval",
+    "half_model_kwargs",
     "karras_sample",
 ]
 
@@ -222,6 +224,7 @@ def sample_heun(
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
     progressive: bool = False,
+    final_to_zero: bool = True,
 ):
     """Karras Algorithm 2 (Heun) as one scan + a final Euler step.
 
@@ -229,6 +232,12 @@ def sample_heun(
     sigma=0) is pure Euler, exactly as the reference branches on
     ``sigmas[i+1] == 0`` (``k_diffusion.py:300-309``). State is updated by
     BOTH the predictor and corrector denoiser calls, in order.
+
+    ``final_to_zero=False`` runs a SEGMENT of a larger grid (the passed
+    ``sigmas`` end mid-trajectory, not at 0): every step is a uniform
+    two-call Heun step, the final-Euler special case is skipped, and
+    ``pred_xstart`` is None (segment consumers read ``x``/``state`` only).
+    Used by :func:`sample_guided_interval`.
 
     Returns dict with ``x`` (final sample) and ``pred_xstart`` (the last
     main-call denoised — the value the reference's consumer reads), plus
@@ -254,6 +263,11 @@ def sample_heun(
         x = x + (d + d_2) / 2.0 * dt
         ys = (x, denoised, sigma_i) if progressive else None
         return (x, k, st), ys
+
+    if not final_to_zero:
+        assert not progressive, "segments have no progressive mode"
+        (x, key, state), _ = jax.lax.scan(step, (x_T, key, state), jnp.arange(n))
+        return {"x": x, "pred_xstart": None, "state": state}
 
     (x, key, state), ys = jax.lax.scan(
         step, (x_T, key, state), jnp.arange(n - 1)
@@ -289,6 +303,7 @@ def sample_heun_reuse(
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
     progressive: bool = False,
+    final_to_zero: bool = True,
 ):
     """Heun on the Karras grid with PFDiff-style past-score reuse
     (arXiv:2408.08822's past-gradient replacement, specialised to Heun).
@@ -321,7 +336,8 @@ def sample_heun_reuse(
 
     x = x_T
     ys0 = ys = None
-    if n >= 2:
+    min_full = 2 if final_to_zero else 1
+    if n >= min_full:
         # step 0: full two-call Heun (no past score exists yet)
         sigma0, sigma1 = sig[0], sig[1]
         denoised, state = denoise_fn(x, sigma0 * s_in, state)
@@ -346,9 +362,16 @@ def sample_heun_reuse(
             ys_i = (x_new, den_prev, sigma_i) if progressive else None
             return (x_new, denoised_2, st), ys_i
 
+        scan_hi = n - 1 if final_to_zero else n
         (x, _, state), ys = jax.lax.scan(
-            step, (x, denoised_prev, state), jnp.arange(1, n - 1)
+            step, (x, denoised_prev, state), jnp.arange(1, scan_hi)
         )
+
+    if not final_to_zero:
+        # Segment of a larger grid (see sample_heun): no final-Euler
+        # special case; every remaining step was a reuse-Heun step.
+        assert not progressive, "segments have no progressive mode"
+        return {"x": x, "pred_xstart": None, "state": state}
 
     # Final step to sigma=0: fresh-call Euler, matching sample_heun (the
     # pred_xstart the consumer reads comes from a real denoiser call).
@@ -472,6 +495,101 @@ _SAMPLERS = {
 }
 
 
+def half_model_kwargs(model_kwargs, batch_size: int):
+    """The conditional half of 2B-batched CFG model kwargs.
+
+    CFG kwargs are built as [cond rows | zeroed rows]
+    (``pcdiff.diffusion.sampler``/``models.wrapper``, mirroring reference
+    ``sampler.py:133-136``); any leaf whose leading dim is 2B is sliced to
+    its first B rows, everything else passes through.
+    """
+    def half(v):
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 \
+                and v.shape[0] == 2 * batch_size:
+            return v[:batch_size]
+        return v
+
+    return {k: half(v) for k, v in (model_kwargs or {}).items()}
+
+
+def sample_guided_interval(
+    denoise_cond: DenoiseFn,
+    denoise_cfg: DenoiseFn,
+    x_T: jnp.ndarray,
+    sigmas: np.ndarray,
+    key: jax.Array,
+    *,
+    state: Any = None,
+    guidance_interval: Tuple[float, float],
+    sampler: str = "heun_reuse",
+    cond_batch: Optional[int] = None,
+):
+    """CFG restricted to a sigma interval (Kynkaanniemi et al. 2024,
+    arXiv:2404.07724 "Applying guidance in a limited interval").
+
+    Steps whose anchor sigma lies in ``[lo, hi]`` use the guided denoiser
+    (2B-row fused cond/uncond forward, ``denoise_cfg``); all other steps
+    call ``denoise_cond`` — the conditional branch ALONE at B rows, i.e.
+    the unconditional half of the network cost vanishes outside the
+    interval. The sigma grid is static, so the trajectory splits into
+    static contiguous segments, each compiled as its own fused scan
+    (``final_to_zero`` marks the true last segment) — no data-dependent
+    control flow ever reaches XLA.
+
+    State threading: ``state`` covers the 2B CFG rows; cond-only segments
+    read/write its first B rows and leave the unconditional rows untouched
+    (they resume, one-segment stale, when the interval re-engages). Like
+    the reuse solver this changes sampler numerics vs always-on CFG, so it
+    is quality-gated on a trained checkpoint (docs/trained_gates.json)
+    before any default uses it.
+
+    ``denoise_cond`` must close over the COND-HALF model kwargs
+    (:func:`half_model_kwargs`) and expect B-row states.
+    """
+    lo, hi = guidance_interval
+    n = len(sigmas) - 1
+    use_cfg = [bool(lo <= float(sigmas[i]) <= hi) for i in range(n)]
+    runs = []  # (first_step, last_step_exclusive, cfg_on)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and use_cfg[j] == use_cfg[i]:
+            j += 1
+        runs.append((i, j, use_cfg[i]))
+        i = j
+
+    B = int(cond_batch if cond_batch is not None else x_T.shape[0])
+
+    def cond_segment_denoise(x, s, full_state):
+        if full_state is None:
+            return denoise_cond(x, s, None)
+        half = jax.tree.map(lambda l: l[:B], full_state)
+        x0, half = denoise_cond(x, s, half)
+        merged = jax.tree.map(
+            lambda full, h: jax.lax.dynamic_update_slice_in_dim(
+                full, h.astype(full.dtype), 0, axis=0
+            ),
+            full_state,
+            half,
+        )
+        return x0, merged
+
+    solver = _SAMPLERS[sampler]
+    x, out = x_T, None
+    for a, b, cfg_on in runs:
+        key, sub = jax.random.split(key)
+        out = solver(
+            denoise_cfg if cfg_on else cond_segment_denoise,
+            x,
+            sigmas[a : b + 1],
+            sub,
+            state=state,
+            final_to_zero=(b == n),
+        )
+        x, state = out["x"], out["state"]
+    return out
+
+
 def karras_sample(
     diffusion,
     model,
@@ -490,6 +608,7 @@ def karras_sample(
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
     guidance_scale: float = 0.0,
+    guidance_interval: Optional[Tuple[float, float]] = None,
     init_state: Any = None,
     progressive: bool = False,
     parallel_options: Optional[Dict[str, Any]] = None,
@@ -506,23 +625,48 @@ def karras_sample(
     key, init_key = jax.random.split(key)
     x_T = jax.random.normal(init_key, tuple(shape)) * sigma_max
 
-    if isinstance(diffusion, KarrasDenoiser):
-        def base_denoise(x_t, s, state):
-            _, denoised = diffusion.denoise(model, x_t, s, **(model_kwargs or {}))
-            if clip_denoised:
-                denoised = jnp.clip(denoised, -1.0, 1.0)
-            return denoised, state
-    elif isinstance(diffusion, GaussianDiffusion):
-        base_denoise = gaussian_denoise_fn(
-            model, diffusion, clip_denoised=clip_denoised, model_kwargs=model_kwargs
-        )
-    else:
+    def make_base(kw):
+        if isinstance(diffusion, KarrasDenoiser):
+            def base(x_t, s, state):
+                _, denoised = diffusion.denoise(model, x_t, s, **(kw or {}))
+                if clip_denoised:
+                    denoised = jnp.clip(denoised, -1.0, 1.0)
+                return denoised, state
+            return base
+        if isinstance(diffusion, GaussianDiffusion):
+            return gaussian_denoise_fn(
+                model, diffusion, clip_denoised=clip_denoised, model_kwargs=kw
+            )
         raise NotImplementedError(type(diffusion))
+
+    base_denoise = make_base(model_kwargs)
 
     if guidance_scale not in (0.0, 1.0):
         denoise = guided_denoise_fn(base_denoise, guidance_scale)
     else:
         denoise = base_denoise
+
+    if guidance_interval is not None and guidance_scale not in (0.0, 1.0):
+        if sampler not in ("heun", "heun_reuse"):
+            raise NotImplementedError(
+                "guidance_interval supports heun/heun_reuse only"
+            )
+        if progressive:
+            raise NotImplementedError("guidance_interval has no progressive mode")
+        if s_churn != 0.0:
+            raise NotImplementedError("guidance_interval requires s_churn == 0")
+        B = int(shape[0])
+        denoise_cond = make_base(half_model_kwargs(model_kwargs, B))
+        out = sample_guided_interval(
+            denoise_cond, denoise, x_T, sigmas, key,
+            state=init_state, guidance_interval=guidance_interval,
+            sampler=sampler, cond_batch=B,
+        )
+        if isinstance(diffusion, GaussianDiffusion):
+            out["x"] = diffusion.unscale_channels(out["x"])
+            if out.get("pred_xstart") is not None:
+                out["pred_xstart"] = diffusion.unscale_channels(out["pred_xstart"])
+        return out
 
     if sampler == "heun_parallel":
         from .parallel import sample_heun_parallel

@@ -36,8 +36,10 @@ from .karras import (
     gaussian_denoise_fn,
     get_sigmas_karras,
     guided_denoise_fn,
+    half_model_kwargs,
     sample_dpm,
     sample_euler_ancestral,
+    sample_guided_interval,
     sample_heun,
     sample_heun_reuse,
 )
@@ -86,6 +88,7 @@ class PointCloudSampler:
         s_churn: Union[float, Sequence[float]] = (3, 0),
         sampler: str = "heun",
         parallel_options: Optional[Dict[str, Any]] = None,
+        guidance_interval: Optional[Tuple[float, float]] = None,
     ):
         n = len(models)
         assert n > 0 and len(diffusions) == n
@@ -104,6 +107,9 @@ class PointCloudSampler:
         self.model_kwargs_key_filter = _broadcast(kf, n, "model_kwargs_key_filter")
         self.sampler = sampler
         self.parallel_options = dict(parallel_options or {})
+        self.guidance_interval = (
+            tuple(guidance_interval) if guidance_interval else None
+        )
 
     @property
     def num_stages(self) -> int:
@@ -167,6 +173,24 @@ class PointCloudSampler:
         )
         key, init_key = jax.random.split(key)
         x_T = jax.random.normal(init_key, shape) * self.sigma_max[stage]
+        if self.guidance_interval is not None and guidance not in (0.0, 1.0):
+            if self.sampler not in ("heun", "heun_reuse"):
+                raise NotImplementedError(
+                    "guidance_interval supports heun/heun_reuse only"
+                )
+            if self.s_churn[stage] != 0.0:
+                raise NotImplementedError("guidance_interval requires s_churn == 0")
+            B = shape[0]
+            denoise_cond = gaussian_denoise_fn(
+                model, diffusion, clip_denoised=self.clip_denoised,
+                model_kwargs=half_model_kwargs(kwargs, B),
+            )
+            out = sample_guided_interval(
+                denoise_cond, denoise, x_T, sigmas, key,
+                state=init_state, guidance_interval=self.guidance_interval,
+                sampler=self.sampler, cond_batch=B,
+            )
+            return diffusion.unscale_channels(out["pred_xstart"])
         fn = {"heun": sample_heun, "heun_reuse": sample_heun_reuse,
               "dpm": sample_dpm, "ancestral": sample_euler_ancestral,
               "heun_parallel": sample_heun_parallel}[self.sampler]
