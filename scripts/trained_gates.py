@@ -48,6 +48,19 @@ GATES = [
     # default program (bf16 softmax measured throughput-neutral, not used).
     ("bf16-reuse", ["model.compute_dtype=bfloat16",
                     "sample.sampler=heun_reuse"]),
+    # Guidance-interval CFG (arXiv:2404.07724): uncond branch only while
+    # sigma is in [lo, hi]. On the 64-step grid (sigma 1e-3..120, rho 7)
+    # [0.1, 10] guides 26/64 steps, [0.05, 25] guides 37/64.
+    ("gi-reuse", ["sample.sampler=heun_reuse",
+                  "sample.guidance_interval_lo=0.1",
+                  "sample.guidance_interval_hi=10.0"]),
+    ("gi-wide-reuse", ["sample.sampler=heun_reuse",
+                       "sample.guidance_interval_lo=0.05",
+                       "sample.guidance_interval_hi=25.0"]),
+    ("bf16-gi-reuse", ["model.compute_dtype=bfloat16",
+                       "sample.sampler=heun_reuse",
+                       "sample.guidance_interval_lo=0.1",
+                       "sample.guidance_interval_hi=10.0"]),
 ]
 
 
