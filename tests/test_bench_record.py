@@ -51,6 +51,22 @@ def test_reuse_solver_tags_metric_and_keeps_ratio(bench):
     json.dumps(rec)
 
 
+def test_gated_guidance_interval_keeps_ratio(bench):
+    # The [0.1, 10] interval is quality-gated as a unit with bf16+reuse
+    # (docs/trained_gates.json "bf16-gi-reuse"), so the ratio applies;
+    # any other interval is an ungated program and reports null.
+    rec = bench.make_record(11.0, 64, "bfloat16",
+                            "heun_reuse_gi0.1-10.0", 400.0)
+    assert rec["metric"] == (
+        "sampling_throughput_1024pt_64step_cfg_heun_reuse_gi0.1-10.0"
+    )
+    assert rec["vs_baseline"] == round(11.0 / (32.0 / 276.0), 2)
+    rec = bench.make_record(11.0, 64, "bfloat16",
+                            "heun_reuse_gi0.05-25.0", 400.0)
+    assert rec["vs_baseline"] is None
+    json.dumps(rec)
+
+
 def test_other_solvers_null_ratio(bench):
     rec = bench.make_record(8.0, 64, "bfloat16", "heun_parallel", 450.0)
     assert rec["metric"] == "sampling_throughput_1024pt_64step_cfg_heun_parallel"
