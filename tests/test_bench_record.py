@@ -32,6 +32,7 @@ def test_default_headline_record(bench):
     assert rec["steps"] == 64
     assert rec["wall_s"] == 500.0
     assert rec["vs_baseline"] == round(3.7 / (32.0 / 276.0), 2)
+    assert rec["batch"] == 32  # default; PCDIFF_BENCH_BATCH is disclosed
     json.dumps(rec)  # one parseable line is the whole contract
 
 
@@ -73,6 +74,14 @@ def test_other_solvers_null_ratio(bench):
     assert rec["vs_baseline"] is None
     rec = bench.make_record(9.0, 32, "bfloat16", "heun_reuse", 450.0)
     assert rec["vs_baseline"] is None  # reuse at a different grid: no ratio
+
+
+def test_batch_field_disclosed(bench):
+    rec = bench.make_record(15.0, 64, "bfloat16", "heun_reuse", 450.0,
+                            batch=64)
+    assert rec["batch"] == 64
+    assert rec["vs_baseline"] == round(15.0 / (32.0 / 276.0), 2)
+    json.dumps(rec)
 
 
 def test_value_rounding(bench):
