@@ -199,21 +199,25 @@ def main():
     if guidance_interval is not None:
         sampler_name = f"{sampler_name}_gi{gi_env.replace(',', '-')}"
 
+    # Batch is a jit ARGUMENT, not a closure: closed-over arrays embed as
+    # HLO constants, which (a) ships the 33 MB depth maps inside every
+    # remote_compile request (the tunnel 413s at B=64) and (b) would let
+    # XLA constant-fold conditioning work out of the measured program.
     run = jax.jit(
-        lambda key: sampler.sample_batch(B, batch, key)
+        lambda key, b: sampler.sample_batch(B, b, key)
     )
 
     base_key = jax.random.PRNGKey(_entropy_seed())
 
     # warmup / compile (materialize to be safe against async elision)
-    out = run(jax.random.fold_in(base_key, 0))
+    out = run(jax.random.fold_in(base_key, 0), batch)
     float(jnp.sum(out))
 
     # Time-boxed iterations: up to 3, at least 1; stop early if over budget.
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = run(jax.random.fold_in(base_key, i + 1))
+        out = run(jax.random.fold_in(base_key, i + 1), batch)
         # block_until_ready does NOT wait under the axon tunnel; a host
         # fetch is the only reliable completion barrier (CLAUDE.md).
         float(jnp.sum(out))
