@@ -134,6 +134,13 @@ def main():
         from pcdiff.models.attention import set_ln_dense_fusion
 
         set_ln_dense_fusion(lndense_mode)
+    # Whole-MLP fusion (LN->fc1->GELU->fc2 in one kernel; 'off' reverts to
+    # the split path: fused LN+fc1 kernel, XLA fc2).
+    lnmlp_mode = os.environ.get("PCDIFF_BENCH_LNMLP", "auto")
+    if lnmlp_mode != "auto":
+        from pcdiff.models.attention import set_ln_mlp_fusion
+
+        set_ln_mlp_fusion(lnmlp_mode)
     # exp-panel dtype inside the fused attention kernel (float32 default;
     # bfloat16 is the quality-gated lever, docs/trained_gates.json).
     softmax_dtype = os.environ.get("PCDIFF_BENCH_SOFTMAX", "float32")

@@ -29,6 +29,8 @@ __all__ = [
     "DecoderLayer",
     "set_ln_dense_fusion",
     "fuse_ln_dense_enabled",
+    "set_ln_mlp_fusion",
+    "fuse_ln_mlp_enabled",
 ]
 
 AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -143,6 +145,31 @@ def fuse_ln_dense_enabled() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+# Opt-in ("off") until the end-to-end TPU A/B lands: round 3's ln_dense
+# lesson is that kernels that win in isolation can lose at custom-call
+# boundaries (docs/performance.md "boundary lessons").
+_LN_MLP_FUSION = "off"  # auto | on | off
+
+
+def set_ln_mlp_fusion(mode: str) -> None:
+    """Select whether pre-LN MLPs fuse the WHOLE LN -> fc1 -> act -> fc2
+    chain into one kernel (:func:`pcdiff.ops.ln_dense.fused_ln_mlp`):
+    'auto' (follows the LN+Dense fusion decision), 'on', or 'off'
+    ('off' keeps the split path: fused LN+fc1, XLA fc2). Trace-time
+    decision; param trees are identical either way."""
+    global _LN_MLP_FUSION
+    assert mode in ("auto", "on", "off")
+    _LN_MLP_FUSION = mode
+
+
+def fuse_ln_mlp_enabled() -> bool:
+    if _LN_MLP_FUSION == "off":
+        return False
+    if _LN_MLP_FUSION == "on":
+        return True
+    return fuse_ln_dense_enabled()
 
 
 def _ln_dense_multi(x, ln, params, dtype, acts=None, out_scales=None):
@@ -283,6 +310,20 @@ class Mlp(nn.Module):
         self, x: jnp.ndarray, deterministic: bool = True, *, ln=None
     ) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
+        if (ln is not None and fuse_ln_mlp_enabled()
+                and (self.drop == 0.0 or deterministic)):
+            # WHOLE pre-LN MLP in one kernel: the [B, N, hidden] activation
+            # never leaves VMEM (the split path round-trips it through HBM
+            # between the fc1 custom call and fc2's fusion). Only when
+            # dropout is inactive — dropout between fc1 and fc2 cannot
+            # cross the kernel boundary.
+            from ..ops.ln_dense import fused_ln_mlp
+
+            scale, bias_p, eps = ln
+            w1, b1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(out_dim, name="fc2")(self.hidden_dim)
+            return fused_ln_mlp(x, scale, bias_p, w1, b1, w2, b2, eps,
+                                self.dtype, "gelu")
         if ln is not None:
             # pre-LN fused into fc1 (x is UN-normalized; see CrossAttention)
             # with the exact-erf GELU applied on the f32 accumulator inside

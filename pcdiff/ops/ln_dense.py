@@ -52,11 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fused_ln_denses",
+    "fused_ln_mlp",
     "set_lndense_backend",
     "lndense_backend",
     "set_lndense_bwd_backend",
     "lndense_bwd_backend",
     "use_ln_dense",
+    "use_ln_mlp",
 ]
 
 _BACKEND = "auto"  # auto | pallas | xla
@@ -417,6 +419,157 @@ def _use_bwd_pallas(x, kernels, out_dtype) -> bool:
         return False
     return x.ndim == 3 and use_ln_dense(
         x.shape[1], x.shape[2], [k.shape[1] for k in kernels], out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused LN -> fc1 -> act -> fc2 (the whole pre-LN MLP in one kernel).
+# Why: with only LN+fc1 fused, the [B, N, F] activation round-trips HBM
+# between the fc1 custom call and fc2's XLA fusion — at the flagship
+# z-stream shape that is ~168 MB of traffic per MLP site that a VMEM-
+# resident hidden block avoids entirely (docs/performance.md, round-3
+# trace: fc2/out-proj fusions ~10 ms of a 64 ms denoiser call).
+# ---------------------------------------------------------------------------
+
+
+def use_ln_mlp(n: int, c: int, f: int, o: int, dtype) -> bool:
+    """Trace-time dispatch decision for LN[B,N,C] -> [C,F] -> act -> [F,O]."""
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND != "pallas" and jax.default_backend() != "tpu":
+        return False
+    if c % 128 or f % 128 or o % 128:
+        return False  # lane-register alignment
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = (
+        (c * f + f * o) * itemsize  # resident weight panels
+        + 2 * n * (c + o) * itemsize  # double-buffered in/out blocks
+        + 3 * n * c * 4  # fp32 x copy + normalized copy
+        + n * f * 4 + n * f * itemsize  # fp32 hidden accumulator + cast copy
+    )
+    return vmem <= _VMEM_BUDGET
+
+
+def _ln_mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, epsilon: float, mxu_dtype, act):
+    x = x_ref[0].astype(jnp.float32)  # [N, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    y = y.astype(mxu_dtype)
+    h32 = jax.lax.dot_general(
+        y, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    a = _apply_act(h32, act, erf=_erf_f32).astype(mxu_dtype)
+    o32 = jax.lax.dot_general(
+        a, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[0] = o32.astype(o_ref.dtype)
+
+
+def _pallas_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype, act):
+    b, n, c = x.shape
+    f, o = w2.shape
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+    kern = functools.partial(
+        _ln_mlp_kernel, epsilon=epsilon, mxu_dtype=mxu_dtype, act=act)
+    in_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, o), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, o), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, o), out_dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, o), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_BUDGET,
+        ),
+    )(x, scale.reshape(1, c), bias.reshape(1, c),
+      w1.astype(mxu_dtype), b1.reshape(1, f).astype(jnp.float32),
+      w2.astype(mxu_dtype), b2.reshape(1, o).astype(jnp.float32))
+
+
+def _xla_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype, act):
+    """Reference composition with the SAME math as the kernel: the fc1
+    stage is exactly ``_xla_ln_denses`` (whose output dtype equals the
+    kernel's mxu dtype for both f32 and bf16), then a compute-dtype fc2
+    matmul with fp32 accumulation, fp32 bias, single cast out."""
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+    (a,) = _xla_ln_denses(x, scale, bias, (w1,), (b1,), epsilon, out_dtype,
+                          (act,))
+    o32 = jax.lax.dot_general(
+        a.astype(mxu_dtype), w2.astype(mxu_dtype),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2.astype(jnp.float32)
+    return o32.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype, act):
+    """``act(LN(x) @ w1 + b1) @ w2 + b2`` with the hidden [B, N, F]
+    activation never leaving VMEM on TPU.
+
+    x: [B, N, C]; w1: [C, F]; w2: [F, O]; biases required. Dispatches to
+    the in-VMEM Pallas kernel for lane-aligned shapes that fit the VMEM
+    budget, the equivalent XLA composition otherwise.
+    """
+    if x.ndim == 3 and use_ln_mlp(
+            x.shape[1], x.shape[2], w1.shape[1], w2.shape[1], out_dtype):
+        return _pallas_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon,
+                              out_dtype, act)
+    return _xla_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype,
+                       act)
+
+
+def _mlp_fwd(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype, act):
+    out = fused_ln_mlp(x, scale, bias, w1, b1, w2, b2, epsilon, out_dtype,
+                       act)
+    return out, (x, scale, bias, w1, b1, w2, b2)
+
+
+def _mlp_bwd(epsilon, out_dtype, act, res, g):
+    """Rematerializing backward built from the proven pieces: the fc1
+    stage's gradient rides ``fused_ln_denses``' own custom VJP (the
+    in-VMEM Pallas backward on TPU), fc2's grads are two MXU matmuls in
+    the forward's compute class (bf16 operands, fp32 accumulation)."""
+    x, scale, bias, w1, b1, w2, b2 = res
+    mxu_dtype = jnp.bfloat16 if out_dtype != jnp.float32 else jnp.float32
+
+    def f1(x_, s_, b_, w1_, b1_):
+        return fused_ln_denses(x_, s_, b_, (w1_,), (b1_,), epsilon,
+                               out_dtype, (act,))[0]
+
+    a, vjp1 = jax.vjp(f1, x, scale, bias, w1, b1)
+    dw2 = jax.lax.dot_general(
+        a.astype(mxu_dtype), g.astype(mxu_dtype),
+        (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w2.dtype)
+    db2 = g.astype(jnp.float32).sum(axis=(0, 1)).astype(b2.dtype)
+    g_a = jax.lax.dot_general(
+        g.astype(mxu_dtype), w2.astype(mxu_dtype),
+        (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(a.dtype)
+    dx, dscale, dbias, dw1, db1 = vjp1(g_a)
+    return dx, dscale, dbias, dw1, db1, dw2, db2
+
+
+fused_ln_mlp.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
