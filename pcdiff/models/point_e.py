@@ -38,6 +38,7 @@ from .attention import (
     _LNParams,
     _ln_dense_multi,
     fuse_ln_dense_enabled,
+    fuse_ln_mlp_enabled,
 )
 from .embeddings import timestep_embedding
 
@@ -124,6 +125,22 @@ class PointEMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, ln=None) -> jnp.ndarray:
+        if ln is not None and fuse_ln_mlp_enabled():
+            # whole pre-LN MLP in one kernel (hidden activation stays in
+            # VMEM); param tree identical to the split/unfused graphs
+            from ..ops.ln_dense import fused_ln_mlp
+
+            fc = _DenseParams(
+                self.width * 4, kernel_init=_init(self.init_scale),
+                name="c_fc",
+            )(x.shape[-1])
+            proj = _DenseParams(
+                self.width, kernel_init=_init(self.init_scale),
+                name="c_proj",
+            )(self.width * 4)
+            scale, bias, eps = ln
+            return fused_ln_mlp(x, scale, bias, fc[0], fc[1],
+                                proj[0], proj[1], eps, self.dtype, "gelu")
         if ln is not None:
             # pre-LN fused into c_fc with the exact-erf GELU epilogue
             fc = _DenseParams(

@@ -121,6 +121,33 @@ def test_mlp_module_fused_matches_unfused(rng, mlp_fusion_on):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_point_e_mlp_fused_matches_unfused(rng, mlp_fusion_on):
+    from pcdiff.models.point_e import PointEMLP
+
+    b, n, c = 2, 9, 64
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+    class PreLN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            mlp = PointEMLP(width=c, init_scale=0.5, name="mlp")
+            if attn_mod.fuse_ln_dense_enabled():
+                ln = attn_mod._LNParams(name="norm")(x.shape[-1])
+                return mlp(x, ln=ln)
+            return mlp(attn_mod.LayerNorm(name="norm")(x))
+
+    params = PreLN().init(jax.random.PRNGKey(0), x)
+    fused = PreLN().apply(params, x)
+    attn_mod.set_ln_mlp_fusion("off")
+    split = PreLN().apply(params, x)
+    attn_mod.set_ln_dense_fusion("off")
+    plain = PreLN().apply(params, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mlp_module_dropout_falls_back(rng, mlp_fusion_on):
     """Active dropout between fc1 and fc2 cannot cross the kernel
     boundary: non-deterministic apply with drop>0 must take the split
