@@ -47,6 +47,11 @@ def main() -> None:
 
         set_ln_dense_fusion("off")
         mode = "lndense-off"
+    if "--lnmlp-on" in sys.argv:  # whole-MLP fusion (opt-in A/B)
+        from pcdiff.models.attention import set_ln_mlp_fusion
+
+        set_ln_mlp_fusion("on")
+        mode = "lnmlp-on"
     if "--lndense-bwd" in sys.argv:  # kept for reproducing old logs
         from pcdiff.ops.ln_dense import set_lndense_bwd_backend
 
