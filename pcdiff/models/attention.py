@@ -147,9 +147,11 @@ def fuse_ln_dense_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Opt-in ("off") until the end-to-end TPU A/B lands: round 3's ln_dense
-# lesson is that kernels that win in isolation can lose at custom-call
-# boundaries (docs/performance.md "boundary lessons").
+# Measured throughput-NEUTRAL on the TPU sampling bench (10.90 vs 10.94
+# clouds/s) at ~1.7x the server-side compile cost — the split path's fc1
+# kernel is VPU-erf-bound, not hidden-traffic-bound, so keeping the
+# [B, N, F] hidden in VMEM buys nothing (docs/performance.md). Kept as an
+# opt-in A/B knob.
 _LN_MLP_FUSION = "off"  # auto | on | off
 
 
