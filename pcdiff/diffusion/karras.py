@@ -236,7 +236,8 @@ def sample_heun(
     ``final_to_zero=False`` runs a SEGMENT of a larger grid (the passed
     ``sigmas`` end mid-trajectory, not at 0): every step is a uniform
     two-call Heun step, the final-Euler special case is skipped, and
-    ``pred_xstart`` is None (segment consumers read ``x``/``state`` only).
+    ``pred_xstart`` is None (segment consumers read ``x``/``state`` only;
+    ``progressive`` still yields the per-step trajectory of the segment).
     Used by :func:`sample_guided_interval`.
 
     Returns dict with ``x`` (final sample) and ``pred_xstart`` (the last
@@ -265,9 +266,11 @@ def sample_heun(
         return (x, k, st), ys
 
     if not final_to_zero:
-        assert not progressive, "segments have no progressive mode"
-        (x, key, state), _ = jax.lax.scan(step, (x_T, key, state), jnp.arange(n))
-        return {"x": x, "pred_xstart": None, "state": state}
+        (x, key, state), ys = jax.lax.scan(step, (x_T, key, state), jnp.arange(n))
+        out = {"x": x, "pred_xstart": None, "state": state}
+        if progressive:
+            out["trajectory"] = {"x": ys[0], "pred_xstart": ys[1], "sigma": ys[2]}
+        return out
 
     (x, key, state), ys = jax.lax.scan(
         step, (x_T, key, state), jnp.arange(n - 1)
@@ -370,8 +373,15 @@ def sample_heun_reuse(
     if not final_to_zero:
         # Segment of a larger grid (see sample_heun): no final-Euler
         # special case; every remaining step was a reuse-Heun step.
-        assert not progressive, "segments have no progressive mode"
-        return {"x": x, "pred_xstart": None, "state": state}
+        out = {"x": x, "pred_xstart": None, "state": state}
+        if progressive:
+            parts = [p for p in (ys0, ys) if p is not None]
+            out["trajectory"] = {
+                "x": jnp.concatenate([p[0] for p in parts], axis=0),
+                "pred_xstart": jnp.concatenate([p[1] for p in parts], axis=0),
+                "sigma": jnp.concatenate([p[2] for p in parts], axis=0),
+            }
+        return out
 
     # Final step to sigma=0: fresh-call Euler, matching sample_heun (the
     # pred_xstart the consumer reads comes from a real denoiser call).
@@ -523,6 +533,7 @@ def sample_guided_interval(
     guidance_interval: Tuple[float, float],
     sampler: str = "heun_reuse",
     cond_batch: Optional[int] = None,
+    progressive: bool = False,
 ):
     """CFG restricted to a sigma interval (Kynkaanniemi et al. 2024,
     arXiv:2404.07724 "Applying guidance in a limited interval").
@@ -545,6 +556,10 @@ def sample_guided_interval(
 
     ``denoise_cond`` must close over the COND-HALF model kwargs
     (:func:`half_model_kwargs`) and expect B-row states.
+
+    ``progressive`` concatenates the per-segment step trajectories into one
+    n-entry trajectory — the same per-step yield surface as the plain
+    solvers (reference ``sampler.py:165-171`` semantics).
     """
     lo, hi = guidance_interval
     n = len(sigmas) - 1
@@ -576,6 +591,7 @@ def sample_guided_interval(
 
     solver = _SAMPLERS[sampler]
     x, out = x_T, None
+    trajectories = []
     for a, b, cfg_on in runs:
         key, sub = jax.random.split(key)
         out = solver(
@@ -585,8 +601,18 @@ def sample_guided_interval(
             sub,
             state=state,
             final_to_zero=(b == n),
+            progressive=progressive,
         )
         x, state = out["x"], out["state"]
+        if progressive:
+            trajectories.append(out["trajectory"])
+    if progressive:
+        # One step-per-entry trajectory across all segments (n entries
+        # total), matching the single-segment solvers' progressive layout.
+        out["trajectory"] = {
+            k: jnp.concatenate([t[k] for t in trajectories], axis=0)
+            for k in ("x", "pred_xstart", "sigma")
+        }
     return out
 
 
@@ -648,11 +674,12 @@ def karras_sample(
 
     if guidance_interval is not None and guidance_scale not in (0.0, 1.0):
         if sampler not in ("heun", "heun_reuse"):
+            # heun_parallel is excluded by design: its Picard sweeps revisit
+            # every step each iteration, so there is no per-step "final"
+            # value to yield until convergence — no progressive mode either.
             raise NotImplementedError(
                 "guidance_interval supports heun/heun_reuse only"
             )
-        if progressive:
-            raise NotImplementedError("guidance_interval has no progressive mode")
         if s_churn != 0.0:
             raise NotImplementedError("guidance_interval requires s_churn == 0")
         B = int(shape[0])
@@ -660,12 +687,19 @@ def karras_sample(
         out = sample_guided_interval(
             denoise_cond, denoise, x_T, sigmas, key,
             state=init_state, guidance_interval=guidance_interval,
-            sampler=sampler, cond_batch=B,
+            sampler=sampler, cond_batch=B, progressive=progressive,
         )
         if isinstance(diffusion, GaussianDiffusion):
             out["x"] = diffusion.unscale_channels(out["x"])
             if out.get("pred_xstart") is not None:
                 out["pred_xstart"] = diffusion.unscale_channels(out["pred_xstart"])
+            if progressive:
+                out["trajectory"]["x"] = diffusion.unscale_channels(
+                    out["trajectory"]["x"]
+                )
+                out["trajectory"]["pred_xstart"] = diffusion.unscale_channels(
+                    out["trajectory"]["pred_xstart"]
+                )
         return out
 
     if sampler == "heun_parallel":

@@ -113,6 +113,82 @@ def test_mid_interval_call_accounting(sampler, cond_calls, uncond_calls):
     assert np.isfinite(np.asarray(gi["x"])).all()
 
 
+@pytest.mark.parametrize("sampler", ["heun", "heun_reuse"])
+def test_mid_interval_progressive_trajectory(sampler):
+    """Per-step yields on the segmented solver (VERDICT r3 #9): n trajectory
+    entries across segments, last entry == final x, anchor sigmas == grid,
+    and progressive does not perturb the sample (same RNG splits)."""
+    steps = 8
+    sigmas = get_sigmas_karras(steps, 1e-3, 120.0)
+    lo, hi = float(sigmas[5]), float(sigmas[2])
+    cfg, cond = _fns()
+    x_T = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    common = dict(
+        state=jnp.zeros((2 * B,)), guidance_interval=(lo, hi),
+        sampler=sampler, cond_batch=B,
+    )
+    plain = sample_guided_interval(
+        cond, cfg, x_T, sigmas, jax.random.PRNGKey(1), **common
+    )
+    gi = sample_guided_interval(
+        cond, cfg, x_T, sigmas, jax.random.PRNGKey(1), progressive=True,
+        **common
+    )
+    traj = gi["trajectory"]
+    assert traj["x"].shape == (steps,) + SHAPE
+    assert traj["pred_xstart"].shape == (steps,) + SHAPE
+    np.testing.assert_array_equal(
+        np.asarray(traj["sigma"]), sigmas[:steps].astype(np.float32)
+    )
+    assert jnp.array_equal(traj["x"][-1], gi["x"])
+    assert jnp.array_equal(plain["x"], gi["x"])
+    assert jnp.array_equal(plain["state"], gi["state"])
+
+
+def test_full_interval_progressive_matches_plain_heun_trajectory():
+    """Covering interval == one cfg segment: the whole progressive
+    trajectory must be bit-identical to the plain solver's."""
+    sigmas = get_sigmas_karras(6, 1e-3, 120.0)
+    key = jax.random.PRNGKey(1)
+    x_T = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    cfg, cond = _fns()
+    state0 = jnp.zeros((2 * B,))
+    plain = sample_heun(
+        cfg, x_T, sigmas, jax.random.split(key)[1], state=state0,
+        progressive=True,
+    )
+    gi = sample_guided_interval(
+        cond, cfg, x_T, sigmas, key, state=state0,
+        guidance_interval=(0.0, float("inf")), sampler="heun", cond_batch=B,
+        progressive=True,
+    )
+    assert _tree_equal(plain["trajectory"], gi["trajectory"])
+
+
+def test_karras_sample_interval_progressive_end_to_end():
+    """The karras_sample surface: progressive under guidance_interval yields
+    an unscaled n-entry trajectory whose last x equals the sample."""
+    diff = diffusion_from_betas("linear", 100)
+
+    def model(x, t, cond=None, prev_latent=None):
+        eps = 0.05 * x + 0.01 * cond[:, :, None]
+        return eps, prev_latent + 1.0
+
+    kw = {"cond": jnp.concatenate([jnp.ones((B, 1)), jnp.zeros((B, 1))])}
+    common = dict(
+        shape=SHAPE, steps=6, key=jax.random.PRNGKey(3), sigma_min=1e-3,
+        sigma_max=120.0, model_kwargs=kw, guidance_scale=3.0,
+        init_state=jnp.zeros((2 * B, 4)), sampler="heun_reuse",
+        guidance_interval=(0.1, 10.0),
+    )
+    plain = karras_sample(diff, model, **common)
+    prog = karras_sample(diff, model, progressive=True, **common)
+    traj = prog["trajectory"]
+    assert traj["x"].shape == (6,) + SHAPE
+    assert jnp.array_equal(traj["x"][-1], prog["x"])  # both unscaled
+    assert jnp.array_equal(plain["x"], prog["x"])
+
+
 def test_half_model_kwargs_slices_only_doubled_leaves():
     kw = {
         "a": jnp.arange(2 * B)[:, None],
