@@ -30,6 +30,12 @@ import numpy as np
 
 BASELINE_CLOUDS_PER_SEC = 32.0 / 276.0  # reference GPU sampling throughput
 
+# Single-chip v5e dense bf16 peak. MFU is reported against this number for
+# every dtype (the fp32 path also runs its matmuls as bf16-operand passes
+# under default TPU precision); peak is disclosed in the record so the
+# ratio is re-derivable.
+V5E_PEAK_FLOPS = 197e12
+
 
 def _entropy_seed(bits: int = 31) -> int:
     # The axon runtime caches identical (program, inputs) executions —
@@ -38,8 +44,16 @@ def _entropy_seed(bits: int = 31) -> int:
 
 
 def make_record(clouds_per_sec: float, steps: int, dtype_name: str,
-                sampler_name: str, wall_s: float, batch: int = 32) -> dict:
+                sampler_name: str, wall_s: float, batch: int = 32,
+                flops_per_batch: "int | None" = None) -> dict:
     """The one JSON line the driver parses. Pure so tests can pin it.
+
+    ``flops_per_batch`` is the exact dot-FLOP count of one benched
+    ``run(key, batch)`` program (``pcdiff.utils.flops.traced_dot_flops``:
+    jaxpr traversal, scans multiplied out — includes every denoiser call
+    of every guidance segment plus the per-batch conditioning encoders).
+    When provided, the record carries ``mfu`` = achieved FLOP/s over the
+    v5e dense bf16 peak, plus the inputs to that ratio.
 
     vs_baseline compares against the reference's 64-step setting
     (BASELINE.md). It is reported only for 64-step programs whose output
@@ -67,6 +81,11 @@ def make_record(clouds_per_sec: float, steps: int, dtype_name: str,
         record["vs_baseline"] = round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2)
     else:
         record["vs_baseline"] = None
+    if flops_per_batch is not None:
+        achieved = flops_per_batch * clouds_per_sec / batch
+        record["flops_per_batch"] = int(flops_per_batch)
+        record["peak_tflops"] = V5E_PEAK_FLOPS / 1e12
+        record["mfu"] = round(achieved / V5E_PEAK_FLOPS, 4)
     return record
 
 
@@ -135,9 +154,11 @@ def main():
 
         set_ln_dense_fusion(lndense_mode)
     # Whole-MLP fusion (LN->fc1->GELU->fc2 in one kernel; 'off' reverts to
-    # the split path: fused LN+fc1 kernel, XLA fc2).
-    lnmlp_mode = os.environ.get("PCDIFF_BENCH_LNMLP", "auto")
-    if lnmlp_mode != "auto":
+    # the split path: fused LN+fc1 kernel, XLA fc2). Unset/empty leaves the
+    # module default ('off'); any explicit value — including 'auto' (follow
+    # the LN+Dense dispatch) — is passed through to set_ln_mlp_fusion.
+    lnmlp_mode = os.environ.get("PCDIFF_BENCH_LNMLP", "")
+    if lnmlp_mode:
         from pcdiff.models.attention import set_ln_mlp_fusion
 
         set_ln_mlp_fusion(lnmlp_mode)
@@ -234,8 +255,23 @@ def main():
     dt = sum(times) / len(times)
 
     clouds_per_sec = B / dt
+
+    # Exact dot-FLOP count of the benched program: host-only jaxpr trace
+    # (no compile, no device round-trip), AFTER the timed loop so the
+    # budget check never races it. See pcdiff.utils.flops.
+    flops = None
+    try:
+        from pcdiff.utils.flops import traced_dot_flops
+
+        flops = traced_dot_flops(
+            lambda key, b: sampler.sample_batch(B, b, key), base_key, batch
+        )
+    except Exception as e:  # the MFU field is best-effort, never fatal
+        print(f"flops trace failed: {e!r}", file=__import__("sys").stderr)
+
     record = make_record(clouds_per_sec, STEPS, dtype_name, sampler_name,
-                         time.perf_counter() - t_start, batch=B)
+                         time.perf_counter() - t_start, batch=B,
+                         flops_per_batch=flops)
     print(json.dumps(record))
 
 

@@ -88,3 +88,23 @@ def test_value_rounding(bench):
     rec = bench.make_record(4.130001, 64, "float32", "heun", 501.96)
     assert rec["value"] == 4.13
     assert rec["wall_s"] == 502.0
+
+
+def test_mfu_field(bench):
+    # 10.968 clouds/s at batch 32 with 169 TFLOP per batch -> 58 TFLOP/s
+    # achieved -> ~29% of the 197 TFLOP/s v5e bf16 peak (VERDICT r3 #4).
+    flops = int(169e12)
+    rec = bench.make_record(10.968, 64, "bfloat16",
+                            "heun_reuse_gi0.1-10.0", 700.0,
+                            flops_per_batch=flops)
+    achieved = flops * 10.968 / 32
+    assert rec["mfu"] == round(achieved / bench.V5E_PEAK_FLOPS, 4)
+    assert rec["flops_per_batch"] == flops
+    assert rec["peak_tflops"] == 197.0
+    json.dumps(rec)
+
+
+def test_mfu_absent_without_flops(bench):
+    rec = bench.make_record(10.0, 64, "bfloat16", "heun_reuse", 500.0)
+    assert "mfu" not in rec and "flops_per_batch" not in rec
+    json.dumps(rec)
