@@ -211,13 +211,14 @@ def _time(fn, q0, iters: int) -> float:
 
 
 def measure(op, B, nq, nk, hd, iters, rng) -> float:
-    """Marginal per-call ms via the n=2 vs n=12 chained slope."""
+    """Marginal per-call ms via the n=4 vs n=64 chained slope (the long
+    chain keeps tunnel RTT jitter, ~several ms/run, out of the slope)."""
     q0 = jnp.asarray(rng.standard_normal((B, nq, hd)) * 0.05, jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((B, nk, hd)) * 0.05, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, nk, hd)) * 0.05, jnp.bfloat16)
-    t2 = _time(_chained(op, q0, k, v, 2), q0, iters)
-    t12 = _time(_chained(op, q0, k, v, 12), q0, iters)
-    return (t12 - t2) / 10.0 * 1e3
+    t_lo = _time(_chained(op, q0, k, v, 4), q0, iters)
+    t_hi = _time(_chained(op, q0, k, v, 64), q0, iters)
+    return (t_hi - t_lo) / 60.0 * 1e3
 
 
 def sol_table(B, nq, nk, H, hd):
