@@ -71,6 +71,15 @@ GATES = [
                               "sample.sampler=heun_reuse",
                               "sample.guidance_interval_lo=0.28",
                               "sample.guidance_interval_hi=5.42"]),
+    # The full fast stack gated AS A UNIT (VERDICT r3 #2): bf16 + past-score
+    # reuse + guidance-interval CFG at HALF the sigma grid. reuse-32 and
+    # gi-reuse each gate equal-or-better alone; this row decides whether the
+    # combination can become a (disclosed, non-default) 2x-again preset.
+    ("bf16-gi-reuse-32", ["model.compute_dtype=bfloat16",
+                          "sample.sampler=heun_reuse",
+                          "sample.karras_steps=32",
+                          "sample.guidance_interval_lo=0.1",
+                          "sample.guidance_interval_hi=10.0"]),
 ]
 
 
@@ -98,8 +107,20 @@ def main(run_dir: str, config_path: str, test_h5: str,
         print(f"=== {name} ===", flush=True)
         out = eval_main(cfg)
         o = out["overall"]
-        results[name] = {"cd_full": o["cd_full"], "f1_full": o["f1_full"],
-                         "overrides": overrides}
+        # Per-class columns (VERDICT r3 #3): a lever can degrade one class
+        # while improving the mean — the per-class deltas are part of the
+        # gate. "checkpoint" disambiguates rows across retrains; the
+        # matching 64-step fp32 heun baseline (overall + per-class) is
+        # docs/shapes_evidence.json "trained_heldout" for the same run.
+        results[name] = {
+            "cd_full": o["cd_full"], "f1_full": o["f1_full"],
+            "per_class": {
+                cls: {"cd_full": v["cd_full"], "f1_full": v["f1_full"]}
+                for cls, v in out["per_class"].items()
+            },
+            "checkpoint": os.path.basename(os.path.normpath(run_dir)),
+            "overrides": overrides,
+        }
         print(f"{name}: cd={o['cd_full']:.6f} f1={o['f1_full']:.6f}",
               flush=True)
 
