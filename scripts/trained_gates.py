@@ -83,6 +83,27 @@ GATES = [
 ]
 
 
+def make_gate_row(summary: dict, overrides: list, run_dir: str) -> dict:
+    """One docs/trained_gates.json row from a cli.evaluate summary.
+
+    Per-class columns (VERDICT r3 #3): a lever can degrade one class while
+    improving the mean — the per-class deltas are part of the gate.
+    "checkpoint" disambiguates rows across retrains; the matching 64-step
+    fp32 heun baseline (overall + per-class) is docs/shapes_evidence.json
+    "trained_heldout" for the same run.
+    """
+    o = summary["overall"]
+    return {
+        "cd_full": o["cd_full"], "f1_full": o["f1_full"],
+        "per_class": {
+            cls: {"cd_full": v["cd_full"], "f1_full": v["f1_full"]}
+            for cls, v in summary["per_class"].items()
+        },
+        "checkpoint": os.path.basename(os.path.normpath(run_dir)),
+        "overrides": overrides,
+    }
+
+
 def main(run_dir: str, config_path: str, test_h5: str,
          only: "set[str] | None" = None) -> None:
     from pcdiff.core.config import apply_overrides, load_config
@@ -106,23 +127,9 @@ def main(run_dir: str, config_path: str, test_h5: str,
         ])
         print(f"=== {name} ===", flush=True)
         out = eval_main(cfg)
-        o = out["overall"]
-        # Per-class columns (VERDICT r3 #3): a lever can degrade one class
-        # while improving the mean — the per-class deltas are part of the
-        # gate. "checkpoint" disambiguates rows across retrains; the
-        # matching 64-step fp32 heun baseline (overall + per-class) is
-        # docs/shapes_evidence.json "trained_heldout" for the same run.
-        results[name] = {
-            "cd_full": o["cd_full"], "f1_full": o["f1_full"],
-            "per_class": {
-                cls: {"cd_full": v["cd_full"], "f1_full": v["f1_full"]}
-                for cls, v in out["per_class"].items()
-            },
-            "checkpoint": os.path.basename(os.path.normpath(run_dir)),
-            "overrides": overrides,
-        }
-        print(f"{name}: cd={o['cd_full']:.6f} f1={o['f1_full']:.6f}",
-              flush=True)
+        results[name] = make_gate_row(out, overrides, run_dir)
+        print(f"{name}: cd={out['overall']['cd_full']:.6f} "
+              f"f1={out['overall']['f1_full']:.6f}", flush=True)
 
     for log in set(glob.glob("evaluation_log_*.txt")) - logs_before:
         os.remove(log)  # per-gate logs are scratch; the json is the record
