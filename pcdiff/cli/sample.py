@@ -34,14 +34,29 @@ def load_params(cfg: Config, model, key):
     path = cfg.sample.load_checkpoint_path
     if not path:
         raise FileNotFoundError("sample.load_checkpoint_path is not set")
+    # Checkpoints are written in the unrolled block_0..block_{n-1} layout
+    # (training default). A scan_blocks model needs the stacked layout:
+    # restore against an unrolled twin template, then stack (math-identical,
+    # see pcdiff.models.rin.stack_rcw_block_params).
+    scanned = getattr(model, "scan_blocks", False)
+    base = model.clone(scan_blocks=False) if scanned else model
+
+    def _finish(variables):
+        if scanned:
+            from ..models.rin import stack_rcw_block_params
+
+            return stack_rcw_block_params(variables)
+        return variables
+
     if path.endswith(".pt"):
-        return load_torch_checkpoint(path)
+        return _finish(load_torch_checkpoint(path))
     from .train import init_params
 
-    template = create_train_state(model, init_params(model, cfg, key), lr=1e-4,
+    template = create_train_state(base, init_params(base, cfg, key), lr=1e-4,
                                   total_steps=1)
     state, _ = restore_checkpoint(path, template)
-    return {"params": state.params["params"] if "params" in state.params else state.params}
+    params = state.params["params"] if "params" in state.params else state.params
+    return _finish({"params": params})
 
 
 def save_cloud_batch(points: np.ndarray, out_dir: str, prefix: str,

@@ -60,6 +60,7 @@ def build_model(cfg: Config) -> TwoStreamDenoiser:
         depth_image_size=m.depth_image_size, depth_patch=m.depth_patch,
         active_modalities=tuple(m.active_modalities),
         dtype=jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32,
+        scan_blocks=getattr(m, "scan_blocks", False),
     )
 
 

@@ -15,9 +15,11 @@ no-op at init (reference ``modules.py:189-190``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import re
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -33,7 +35,10 @@ from .attention import (
 )
 from .embeddings import timestep_embedding
 
-__all__ = ["ComputeBlock", "ReadBlock", "WriteBlock", "RCWBlock", "DenoiserBackbone"]
+__all__ = [
+    "ComputeBlock", "ReadBlock", "WriteBlock", "RCWBlock", "DenoiserBackbone",
+    "stack_rcw_block_params", "unstack_rcw_block_params",
+]
 
 
 class ComputeBlock(nn.Module):
@@ -212,6 +217,91 @@ class RCWBlock(nn.Module):
         return z, x
 
 
+class _RCWScanBody(nn.Module):
+    """One ``nn.scan`` step: carry ``(z, x)`` through a single RCWBlock.
+
+    The inner block is named ``block`` so the scanned parameter tree is
+    ``blocks/block/...`` with a leading ``num_blocks`` axis on every leaf —
+    the layout :func:`stack_rcw_block_params` produces from the unrolled
+    ``block_0..block_{n-1}`` groups.
+    """
+
+    z_dim: int
+    x_dim: int
+    num_compute_layers: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    dtype: Any
+    read_attention_fn: AttentionFn
+    write_attention_fn: AttentionFn
+    compute_attention_fn: AttentionFn
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        z, x = carry
+        z, x = RCWBlock(
+            self.z_dim, self.x_dim,
+            num_compute_layers=self.num_compute_layers,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            read_attention_fn=self.read_attention_fn,
+            write_attention_fn=self.write_attention_fn,
+            compute_attention_fn=self.compute_attention_fn,
+            name="block",
+        )(z, x, self.deterministic)
+        return (z, x), None
+
+
+_BLOCK_KEY = re.compile(r"block_\d+")
+
+
+def stack_rcw_block_params(tree):
+    """Unrolled ``block_0..block_{n-1}`` groups -> scanned ``blocks/block``.
+
+    Pure layout transform (recursive over the param pytree): wherever a dict
+    level holds the full ``block_i`` family, those subtrees are stacked along
+    a new leading axis (scan-iteration order == block index) under
+    ``blocks/block``. Enables loading any unrolled checkpoint — orbax saves
+    and the torch importer alike — into a ``scan_blocks=True`` model.
+    """
+    if not isinstance(tree, dict):
+        return tree
+    block_keys = sorted(
+        (k for k in tree if isinstance(k, str) and _BLOCK_KEY.fullmatch(k)),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    out = {k: stack_rcw_block_params(v) for k, v in tree.items()
+           if k not in block_keys}
+    if block_keys:
+        assert [int(k.rsplit("_", 1)[1]) for k in block_keys] == list(
+            range(len(block_keys))), f"non-contiguous block ids: {block_keys}"
+        out["blocks"] = {"block": jax.tree.map(
+            lambda *leaves: jnp.stack(leaves, axis=0),
+            *(tree[k] for k in block_keys))}
+    return out
+
+
+def unstack_rcw_block_params(tree):
+    """Inverse of :func:`stack_rcw_block_params` (scanned -> unrolled)."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if (k == "blocks" and isinstance(v, dict) and set(v) == {"block"}):
+            stacked = v["block"]
+            n = jax.tree.leaves(stacked)[0].shape[0]
+            for i in range(n):
+                out[f"block_{i}"] = jax.tree.map(lambda leaf: leaf[i], stacked)
+        else:
+            out[k] = unstack_rcw_block_params(v)
+    return out
+
+
 class DenoiserBackbone(nn.Module):
     """RIN denoiser over a point stream x and latent stream z.
 
@@ -235,6 +325,13 @@ class DenoiserBackbone(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Compile-wall lever (docs/performance.md "Round-4 compile wall"): run
+    # the num_blocks identical RCW rounds as ONE lax.scan over stacked
+    # params instead of Python-unrolled copies — ~6x fewer jaxpr equations
+    # per denoiser copy, math-identical. Param layout changes to
+    # blocks/block/... with a leading block axis; convert existing
+    # checkpoints with stack_rcw_block_params/unstack_rcw_block_params.
+    scan_blocks: bool = False
     read_attention_fn: AttentionFn = staticmethod(dot_product_attention)
     write_attention_fn: AttentionFn = staticmethod(dot_product_attention)
     compute_attention_fn: AttentionFn = staticmethod(dot_product_attention)
@@ -293,18 +390,28 @@ class DenoiserBackbone(nn.Module):
             name="ln_latent",
         )(prev_latent)
 
-        for i in range(self.num_blocks):
-            z, x = RCWBlock(
-                self.z_dim, self.x_dim,
-                num_compute_layers=self.num_compute_layers,
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
-                dtype=self.dtype,
-                read_attention_fn=self.read_attention_fn,
-                write_attention_fn=self.write_attention_fn,
-                compute_attention_fn=self.compute_attention_fn,
-                name=f"block_{i}",
-            )(z, x, deterministic)
+        block_kwargs = dict(
+            z_dim=self.z_dim, x_dim=self.x_dim,
+            num_compute_layers=self.num_compute_layers,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, drop=self.drop, attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            read_attention_fn=self.read_attention_fn,
+            write_attention_fn=self.write_attention_fn,
+            compute_attention_fn=self.compute_attention_fn,
+        )
+        if self.scan_blocks:
+            body = nn.scan(
+                _RCWScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_blocks,
+            )(deterministic=deterministic, name="blocks", **block_kwargs)
+            (z, x), _ = body((z, x), None)
+        else:
+            for i in range(self.num_blocks):
+                z, x = RCWBlock(name=f"block_{i}", **block_kwargs)(
+                    z, x, deterministic)
 
         x = LayerNorm(dtype=self.dtype, name="ln_post")(x)
         x_denoised = nn.Dense(

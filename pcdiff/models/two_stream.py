@@ -69,6 +69,10 @@ class TwoStreamDenoiser(nn.Module):
     depth_patch: int = 32
     active_modalities: Sequence[str] = ("class", "view", "partial_pcd", "depth")
     dtype: jnp.dtype = jnp.float32
+    # compile-wall lever: lax.scan over the RCW blocks (see
+    # pcdiff.models.rin.DenoiserBackbone.scan_blocks); changes the backbone
+    # param layout — convert checkpoints with rin.stack_rcw_block_params
+    scan_blocks: bool = False
     # parallelism hooks (pcdiff.parallel.xsp): selectable attention
     # implementations for the read/write interface attentions (x-stream
     # sequence parallelism) and the latent compute attentions (head TP)
@@ -92,6 +96,7 @@ class TwoStreamDenoiser(nn.Module):
             num_blocks=self.num_blocks,
             num_compute_layers=self.num_compute_layers,
             num_heads=self.num_heads, dtype=self.dtype,
+            scan_blocks=self.scan_blocks,
             **backbone_kwargs,
         )
         encoders = {}

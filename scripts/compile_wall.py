@@ -34,17 +34,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS = {
-    # name -> (sampler, guidance_interval)
-    "heun": ("heun", None),
-    "heun_reuse": ("heun_reuse", None),
-    "heun_reuse_gi": ("heun_reuse", (0.1, 10.0)),
+    # name -> (sampler, guidance_interval, scan_blocks)
+    "heun": ("heun", None, False),
+    "heun_reuse": ("heun_reuse", None, False),
+    "heun_reuse_gi": ("heun_reuse", (0.1, 10.0), False),
+    # scan-over-blocks lever (model.scan_blocks): the 6 RCW rounds ride ONE
+    # lax.scan body per denoiser copy instead of 6 inlined copies
+    "heun_scan": ("heun", None, True),
+    "heun_reuse_gi_scan": ("heun_reuse", (0.1, 10.0), True),
 }
 
 NUM_POINTS = 1024
 STEPS = 64
 
 
-def _build(sampler_name: str, guidance_interval, batch: int, dtype):
+def _build(sampler_name: str, guidance_interval, batch: int, dtype,
+           scan_blocks: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,7 +63,7 @@ def _build(sampler_name: str, guidance_interval, batch: int, dtype):
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
         num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
-        depth_patch=32, dtype=dtype,
+        depth_patch=32, dtype=dtype, scan_blocks=scan_blocks,
     )
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     batch_kwargs = dict(
@@ -114,9 +119,10 @@ def sizes():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    for name, (sampler_name, gi) in VARIANTS.items():
+    for name, (sampler_name, gi, scan) in VARIANTS.items():
         t0 = time.perf_counter()
-        run, batch = _build(sampler_name, gi, batch=32, dtype=jnp.bfloat16)
+        run, batch = _build(sampler_name, gi, batch=32, dtype=jnp.bfloat16,
+                            scan_blocks=scan)
         jaxpr = jax.make_jaxpr(run)(jax.random.PRNGKey(0), batch)
         n = _count_eqns(jaxpr)
         print(f"{name:16s} eqns={n:8d}  trace_s={time.perf_counter()-t0:6.1f}",
@@ -128,9 +134,10 @@ def cold(variant: str, batch: int):
     import numpy as np
     import jax.numpy as jnp
 
-    sampler_name, gi = VARIANTS[variant]
+    sampler_name, gi, scan = VARIANTS[variant]
     print(f"devices={jax.devices()}", flush=True)
-    run, batch_kwargs = _build(sampler_name, gi, batch, jnp.bfloat16)
+    run, batch_kwargs = _build(sampler_name, gi, batch, jnp.bfloat16,
+                               scan_blocks=scan)
     jrun = jax.jit(run)
     key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
     t0 = time.perf_counter()
