@@ -192,11 +192,17 @@ def main():
         guidance_interval = (lo, hi)
     else:
         gi_env = ""
+    # lax.scan over the 6 RCW blocks (math-identical compile-wall lever,
+    # docs/performance.md "Round-4 compile wall": gi program 45.5k -> 13.9k
+    # jaxpr equations). A/B knob until the cold-compile + warm-throughput
+    # measurements justify a default flip.
+    scan_blocks = os.environ.get("PCDIFF_BENCH_SCANBLOCKS", "") in (
+        "1", "on", "true")
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
         num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
-        depth_patch=32, dtype=dtype,
+        depth_patch=32, dtype=dtype, scan_blocks=scan_blocks,
     )
     rng = np.random.default_rng(_entropy_seed())
     batch = dict(
@@ -272,6 +278,8 @@ def main():
     record = make_record(clouds_per_sec, STEPS, dtype_name, sampler_name,
                          time.perf_counter() - t_start, batch=B,
                          flops_per_batch=flops)
+    if scan_blocks:  # disclosed when on; math-identical, so the metric
+        record["scan_blocks"] = True  # name and vs_baseline are unchanged
     print(json.dumps(record))
 
 

@@ -80,6 +80,14 @@ GATES = [
                           "sample.karras_steps=32",
                           "sample.guidance_interval_lo=0.1",
                           "sample.guidance_interval_hi=10.0"]),
+    # scan-over-blocks compile-wall lever on the default program: math-
+    # identical by construction (tests/test_scan_blocks.py), gated here on
+    # the trained checkpoint as real-TPU/bf16 confirmation.
+    ("bf16-gi-reuse-scan", ["model.compute_dtype=bfloat16",
+                            "model.scan_blocks=true",
+                            "sample.sampler=heun_reuse",
+                            "sample.guidance_interval_lo=0.1",
+                            "sample.guidance_interval_hi=10.0"]),
 ]
 
 
