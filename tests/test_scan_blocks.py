@@ -142,3 +142,37 @@ def test_scan_blocks_shrinks_jaxpr():
     n_s = _count_eqns(jax.make_jaxpr(lambda p: scanned.apply(p, x, t, cond))(stacked))
     # 3 identical blocks collapse to ~1 scanned body + glue
     assert n_s < 0.6 * n_u, (n_s, n_u)
+
+
+def test_scan_blocks_composes_with_sharded_attention():
+    """scan_blocks + x-stream sequence parallelism: shard_map attention fns
+    inside the nn.scan body must reproduce the dense unrolled backbone."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pcdiff.parallel import make_mesh
+    from pcdiff.parallel.xsp import sharded_read_attention, sharded_write_attention
+
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    base = dict(num_x=64, num_z=8, z_dim=32, x_dim=32, num_blocks=2,
+                num_compute_layers=1, num_heads=4)
+    dense = DenoiserBackbone(**base)
+    sharded_scan = DenoiserBackbone(
+        **base, scan_blocks=True,
+        read_attention_fn=partial(sharded_read_attention, mesh=mesh),
+        write_attention_fn=partial(sharded_write_attention, mesh=mesh),
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    t = jnp.asarray([3, 70])
+    cond = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    params = dense.init(jax.random.PRNGKey(0), x, t, cond)
+    out_d, z_d = dense.apply(params, x, t, cond)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, "model", None)))
+    out_s, z_s = jax.jit(lambda p, x, t, c: sharded_scan.apply(p, x, t, c))(
+        stack_rcw_block_params(params), x_sh, t, cond)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_d),
+                               rtol=1e-4, atol=1e-5)
