@@ -93,6 +93,11 @@ def main(cfg: Config) -> dict:
                          seed=cfg.train.seed, drop_last=False)
     metrics = CompletionMetrics(fps_points=1024)
 
+    # One compiled program per batch size (the last batch may be ragged):
+    # outside jit, every encoder/solver op dispatches eagerly through the
+    # device tunnel — ~2 min/batch of pure dispatch latency on axon vs
+    # seconds for the compiled program (same math; bench.py does the same).
+    run_cache: dict = {}
     for bi, batch in enumerate(loader):
         kwargs = dict(
             class_labels=jnp.asarray(batch["class_labels"]),
@@ -101,7 +106,13 @@ def main(cfg: Config) -> dict:
             depth_maps=jnp.asarray(batch["depth_maps"]),
         )
         key, sub = jax.random.split(key)
-        samples = sampler.sample_batch(len(batch["target"]), kwargs, sub)
+        n = len(batch["target"])
+        run = run_cache.get(n)
+        if run is None:
+            run = run_cache[n] = jax.jit(
+                lambda kw, k, n=n: sampler.sample_batch(n, kw, k)
+            )
+        samples = run(kwargs, sub)
         pred = np.clip(np.asarray(samples), -0.5, 0.5)
         metrics.update(pred, batch["target"], batch["class_labels"])
         logger.info("evaluated batch %d (%d samples)", bi, len(pred))
