@@ -110,6 +110,10 @@ def main(cfg: Config) -> None:
     out_dir = cfg.sample.output_dir
     fmt = cfg.sample.save_format
 
+    # jit per batch size (the last batch may be ragged): eager dispatch
+    # through the axon tunnel costs ~2 min/batch; the compiled program
+    # samples in seconds (same math — see cli/evaluate.py).
+    run_cache: dict = {}
     for bi, batch in enumerate(loader):
         kwargs = dict(
             class_labels=jnp.asarray(batch["class_labels"]),
@@ -118,7 +122,13 @@ def main(cfg: Config) -> None:
             depth_maps=jnp.asarray(batch["depth_maps"]),
         )
         key, sub = jax.random.split(key)
-        samples = sampler.sample_batch(len(batch["target"]), kwargs, sub)
+        n = len(batch["target"])
+        run = run_cache.get(n)
+        if run is None:
+            run = run_cache[n] = jax.jit(
+                lambda kw, k, n=n: sampler.sample_batch(n, kw, k)
+            )
+        samples = run(kwargs, sub)
         base = os.path.join(out_dir, f"batch_{bi:04d}")
         save_cloud_batch(batch["target"], os.path.join(base, "targets"),
                          "target", fmt)
