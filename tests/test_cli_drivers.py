@@ -148,8 +148,11 @@ def test_sample_driver_ply_output_parity(tiny_setup, tmp_path):
         depth_maps=jnp.asarray(batch["depth_maps"]),
     )
     key, sub = jax.random.split(key)
+    # jit exactly as the driver does (cli/sample.py): eager vs jitted
+    # execution differs at fp32-fusion rounding, and this pin is bitwise
+    n = len(batch["target"])
     want = np.asarray(
-        sampler.sample_batch(len(batch["target"]), kwargs, sub)
+        jax.jit(lambda kw, k: sampler.sample_batch(n, kw, k))(kwargs, sub)
     ).astype(np.float32)
 
     from pcdiff.geometry.ply import read_ply
