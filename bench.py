@@ -194,9 +194,11 @@ def main():
         gi_env = ""
     # lax.scan over the 6 RCW blocks (math-identical compile-wall lever,
     # docs/performance.md "Round-4 compile wall": gi program 45.5k -> 13.9k
-    # jaxpr equations). A/B knob until the cold-compile + warm-throughput
-    # measurements justify a default flip.
-    scan_blocks = os.environ.get("PCDIFF_BENCH_SCANBLOCKS", "") in (
+    # jaxpr equations). Default ON: measured 11.05 clouds/s at wall 475 s
+    # cold vs 10.92 at ~680 s unscanned (warm-neutral, cold wall -30%),
+    # quality-gated neutral on the trained checkpoint (trained_gates.json
+    # "bf16-gi-reuse-scan"). PCDIFF_BENCH_SCANBLOCKS=0 restores unrolled.
+    scan_blocks = os.environ.get("PCDIFF_BENCH_SCANBLOCKS", "1") in (
         "1", "on", "true")
     model = TwoStreamDenoiser(
         num_points=NUM_POINTS, num_latents=256, latent_dim=256, x_dim=256,
