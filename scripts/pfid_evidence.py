@@ -97,6 +97,7 @@ def sample(run_dir: str, config_path: str, test_h5: str,
     loader = BatchLoader(dataset, cfg.sample.num_samples, shuffle=False,
                          seed=cfg.train.seed, drop_last=False)
     preds, targets, partials = [], [], []
+    run_cache: dict = {}  # jit per batch size (see cli/evaluate.py)
     for pass_i in range(n_seeds):
         for bi, batch in enumerate(loader):
             kwargs = dict(
@@ -106,7 +107,12 @@ def sample(run_dir: str, config_path: str, test_h5: str,
                 depth_maps=jnp.asarray(batch["depth_maps"]),
             )
             key, sub = jax.random.split(key)
-            out = sampler.sample_batch(len(batch["target"]), kwargs, sub)
+            n = len(batch["target"])
+            run = run_cache.get(n)
+            if run is None:
+                run = run_cache[n] = jax.jit(
+                    lambda kw, k, n=n: sampler.sample_batch(n, kw, k))
+            out = run(kwargs, sub)
             preds.append(np.clip(np.asarray(out), -0.5, 0.5))
             if pass_i == 0:
                 targets.append(np.asarray(batch["target"]))
