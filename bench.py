@@ -162,6 +162,15 @@ def main():
         from pcdiff.models.attention import set_ln_mlp_fusion
 
         set_ln_mlp_fusion(lnmlp_mode)
+    # GELU flavor in the transformer MLPs (erf | tanh). The tanh form rides
+    # the TPU's hardware exp instead of the ~12-term erf rational on the
+    # VPU (the fc1 kernels are VPU-erf-bound, docs/performance.md); it is
+    # an A/B lever pending its trained-checkpoint quality gate.
+    gelu_impl = os.environ.get("PCDIFF_BENCH_GELU", "")
+    if gelu_impl:
+        from pcdiff.models.attention import set_gelu_impl
+
+        set_gelu_impl(gelu_impl)
     # exp-panel dtype inside the fused attention kernel (float32 default;
     # bfloat16 is the quality-gated lever, docs/trained_gates.json).
     softmax_dtype = os.environ.get("PCDIFF_BENCH_SOFTMAX", "float32")

@@ -46,9 +46,11 @@ def build_model(cfg: Config) -> TwoStreamDenoiser:
     m = cfg.model
     # process-global kernel knob: set unconditionally so successive
     # build_model calls in one process (gate sweeps) don't inherit state
+    from ..models.attention import set_gelu_impl
     from ..ops.flash_attention import set_attention_softmax_dtype
 
     set_attention_softmax_dtype(getattr(m, "softmax_dtype", "float32"))
+    set_gelu_impl(getattr(m, "gelu_impl", "erf"))
     return TwoStreamDenoiser(
         num_points=m.num_points, num_latents=m.num_latents,
         cond_drop_prob=m.cond_drop_prob, input_channels=m.input_channels,

@@ -89,6 +89,10 @@ class ModelConfig:
     # bfloat16); bfloat16 is a quality-gated throughput lever (see
     # docs/trained_gates.json)
     softmax_dtype: str = "float32"
+    # GELU flavor in the transformer MLPs (erf | tanh); tanh rides the
+    # TPU hardware exp instead of the VPU erf rational — a quality-gated
+    # throughput lever (see docs/trained_gates.json)
+    gelu_impl: str = "erf"
     # lax.scan over the RCW blocks: math-identical compile-wall lever
     # (~6x fewer jaxpr equations per denoiser copy); unrolled checkpoints
     # are converted at load time (cli.sample.load_params)

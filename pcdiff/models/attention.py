@@ -31,6 +31,8 @@ __all__ = [
     "fuse_ln_dense_enabled",
     "set_ln_mlp_fusion",
     "fuse_ln_mlp_enabled",
+    "set_gelu_impl",
+    "gelu_act",
 ]
 
 AttentionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -122,6 +124,34 @@ class _DenseParams(nn.Module):
             if self.use_bias else None
         )
         return kernel, bias
+
+
+_GELU_IMPL = "erf"  # erf | tanh
+
+
+def set_gelu_impl(mode: str) -> None:
+    """Select the GELU flavor the transformer MLPs apply (the per-token
+    fc1 epilogues that dominate the denoiser; the tiny once-per-batch
+    conditioning-encoder MLPs stay exact-erf): 'erf' (exact, torch
+    ``nn.GELU()`` parity — the default) or 'tanh' (torch
+    ``approximate='tanh'``; |err| <= 1.5e-3 abs vs exact). On TPU the
+    tanh form rides the hardware exp instead of a ~12-term erf rational
+    on the VPU — it exists as a quality-gated perf lever for the
+    fc1-epilogue-bound fused kernels (docs/performance.md). Trace-time
+    decision; param trees are identical either way."""
+    global _GELU_IMPL
+    assert mode in ("erf", "tanh")
+    _GELU_IMPL = mode
+
+
+def gelu_act() -> str:
+    """The activation tag MLPs pass to the fused LN+Dense kernels."""
+    return "gelu" if _GELU_IMPL == "erf" else "gelu_tanh"
+
+
+def gelu_approximate() -> bool:
+    """``approximate=`` flag for ``nn.gelu`` on the unfused paths."""
+    return _GELU_IMPL == "tanh"
 
 
 _LN_DENSE_FUSION = "auto"  # auto | on | off
@@ -325,20 +355,21 @@ class Mlp(nn.Module):
             w1, b1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
             w2, b2 = _DenseParams(out_dim, name="fc2")(self.hidden_dim)
             return fused_ln_mlp(x, scale, bias_p, w1, b1, w2, b2, eps,
-                                self.dtype, "gelu")
+                                self.dtype, gelu_act())
         if ln is not None:
             # pre-LN fused into fc1 (x is UN-normalized; see CrossAttention)
-            # with the exact-erf GELU applied on the f32 accumulator inside
-            # the kernel — a standalone gelu between two custom calls costs
+            # with the GELU applied on the f32 accumulator inside the
+            # kernel — a standalone gelu between two custom calls costs
             # an f32 materialization of the [B, N, 4C] activation.
             fc1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
-            (x,) = _ln_dense_multi(x, ln, [fc1], self.dtype, acts=["gelu"])
+            (x,) = _ln_dense_multi(x, ln, [fc1], self.dtype,
+                                   acts=[gelu_act()])
         else:
             x = nn.Dense(
                 self.hidden_dim, dtype=self.dtype,
                 kernel_init=default_kernel_init, name="fc1",
             )(x)
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=gelu_approximate())
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(
             out_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc2"

@@ -39,6 +39,8 @@ from .attention import (
     _ln_dense_multi,
     fuse_ln_dense_enabled,
     fuse_ln_mlp_enabled,
+    gelu_act,
+    gelu_approximate,
 )
 from .embeddings import timestep_embedding
 
@@ -140,20 +142,23 @@ class PointEMLP(nn.Module):
             )(self.width * 4)
             scale, bias, eps = ln
             return fused_ln_mlp(x, scale, bias, fc[0], fc[1],
-                                proj[0], proj[1], eps, self.dtype, "gelu")
+                                proj[0], proj[1], eps, self.dtype,
+                                gelu_act())
         if ln is not None:
-            # pre-LN fused into c_fc with the exact-erf GELU epilogue
+            # pre-LN fused into c_fc with the GELU epilogue on the f32
+            # accumulator (exact erf by default; attention.set_gelu_impl)
             fc = _DenseParams(
                 self.width * 4, kernel_init=_init(self.init_scale),
                 name="c_fc",
             )(x.shape[-1])
-            (h,) = _ln_dense_multi(x, ln, [fc], self.dtype, acts=["gelu"])
+            (h,) = _ln_dense_multi(x, ln, [fc], self.dtype,
+                                   acts=[gelu_act()])
         else:
             h = nn.Dense(
                 self.width * 4, dtype=self.dtype,
                 kernel_init=_init(self.init_scale), name="c_fc",
             )(x)
-            h = nn.gelu(h, approximate=False)
+            h = nn.gelu(h, approximate=gelu_approximate())
         return nn.Dense(
             self.width, dtype=self.dtype, kernel_init=_init(self.init_scale),
             name="c_proj",

@@ -128,10 +128,24 @@ def _apply_act(o32, act, erf=jax.lax.erf):
     if act == "gelu":
         # exact (erf) GELU, matching nn.gelu(approximate=False)
         return o32 * 0.5 * (1.0 + erf(o32 * (2.0**-0.5)))
+    # The sigmoid-form epilogues clamp exp's argument to +-30: sigmoid(30)
+    # rounds to exactly 1.0/0.0 in f32 (saturation beyond f32 epsilon), so
+    # the forward is bit-identical, while AUTODIFF through the unclamped
+    # form is inf*0=NaN once exp overflows (pre-activation < ~-52 for
+    # quick_gelu, < ~-11 for gelu_tanh's cubic argument). Inside the clamp
+    # the gradient is exact; outside, clip's zero-grad makes it exactly
+    # the saturated 0/1 — the true gradient.
     if act == "quick_gelu":
-        # x * sigmoid(1.702 x) (CLIP), via exp (Mosaic has no logistic):
-        # saturates correctly at f32 inf/0 for large +-x
-        return o32 / (1.0 + jnp.exp(-1.702 * o32))
+        # x * sigmoid(1.702 x) (CLIP), via exp (Mosaic has no logistic)
+        return o32 / (1.0 + jnp.exp(jnp.clip(-1.702 * o32, -30.0, 30.0)))
+    if act == "gelu_tanh":
+        # tanh-approx GELU (torch approximate='tanh'), rewritten through
+        # sigmoid so it rides the hardware exp instead of the 12-term erf
+        # rational: 0.5x(1+tanh(u)) == x*sigmoid(2u),
+        # u = sqrt(2/pi)(x + 0.044715 x^3). |err| <= 1.5e-3 abs vs exact
+        # erf GELU (sub-bf16-epsilon on the bf16 activation path).
+        u2 = 1.5957691216057308 * (o32 + 0.044715 * o32 * o32 * o32)
+        return o32 / (1.0 + jnp.exp(jnp.clip(-u2, -30.0, 30.0)))
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -274,8 +288,17 @@ def _act_grad(z32, act):
         cdf = 0.5 * (1.0 + _erf_f32(z32 * (2.0**-0.5)))
         return cdf + z32 * phi
     if act == "quick_gelu":
-        s = 1.0 / (1.0 + jnp.exp(-1.702 * z32))
+        s = 1.0 / (1.0 + jnp.exp(jnp.clip(-1.702 * z32, -30.0, 30.0)))
         return s * (1.0 + 1.702 * z32 * (1.0 - s))
+    if act == "gelu_tanh":
+        # f = z * sigmoid(2u), u = k(z + a z^3) =>
+        # f' = s + 2 z k (1 + 3a z^2) s(1-s); sech^2(u) == 4 s(1-s)
+        # keeps this identical to the tanh form's derivative. Same exp-
+        # argument clamp as _apply_act (saturated s is exactly 0/1).
+        u2 = 1.5957691216057308 * (z32 + 0.044715 * z32 * z32 * z32)
+        s = 1.0 / (1.0 + jnp.exp(jnp.clip(-u2, -30.0, 30.0)))
+        up = 0.7978845608028654 * (1.0 + 0.134145 * z32 * z32)
+        return s + 2.0 * z32 * up * s * (1.0 - s)
     raise ValueError(f"unknown activation {act!r}")
 
 
@@ -579,7 +602,8 @@ def fused_ln_denses(x, scale, bias, kernels, biases, epsilon, out_dtype,
     materializing LN(x).
 
     x: [B, N, C]; kernels: tuple of [C, F_i]; biases: tuple of [F_i]
-    or None; acts: tuple of None | 'gelu'. Returns a list of
+    or None; acts: tuple of None | 'gelu' (exact erf) | 'gelu_tanh'
+    (tanh approx via hardware exp) | 'quick_gelu'. Returns a list of
     [B, N, F_i] arrays in ``out_dtype``. Dispatches to the in-VMEM
     Pallas kernel on TPU for lane-aligned shapes, XLA otherwise.
 

@@ -80,6 +80,15 @@ GATES = [
                           "sample.karras_steps=32",
                           "sample.guidance_interval_lo=0.1",
                           "sample.guidance_interval_hi=10.0"]),
+    # tanh-approx GELU in the transformer MLPs (|err| <= 1.5e-3 abs vs
+    # exact erf, i.e. sub-bf16-epsilon on the bf16 path): rides the TPU
+    # hardware exp instead of the VPU erf rational in the fc1-epilogue-
+    # bound fused kernels. Gated on the full default program.
+    ("bf16-gi-reuse-gelutanh", ["model.compute_dtype=bfloat16",
+                                "model.gelu_impl=tanh",
+                                "sample.sampler=heun_reuse",
+                                "sample.guidance_interval_lo=0.1",
+                                "sample.guidance_interval_hi=10.0"]),
     # scan-over-blocks compile-wall lever on the default program: math-
     # identical by construction (tests/test_scan_blocks.py), gated here on
     # the trained checkpoint as real-TPU/bf16 confirmation.
