@@ -34,29 +34,50 @@ def load_params(cfg: Config, model, key):
     path = cfg.sample.load_checkpoint_path
     if not path:
         raise FileNotFoundError("sample.load_checkpoint_path is not set")
-    # Checkpoints are written in the unrolled block_0..block_{n-1} layout
-    # (training default). A scan_blocks model needs the stacked layout:
-    # restore against an unrolled twin template, then stack (math-identical,
-    # see pcdiff.models.rin.stack_rcw_block_params).
+    # Checkpoints are conventionally written in the unrolled
+    # block_0..block_{n-1} layout, but a model.scan_blocks=true training run
+    # saves the stacked blocks/block layout (train.py saves state as-is).
+    # Detect the on-disk layout, restore against a matching-layout template,
+    # then convert to the model's layout (both directions are lossless —
+    # pcdiff.models.rin.stack/unstack_rcw_block_params).
     scanned = getattr(model, "scan_blocks", False)
-    base = model.clone(scan_blocks=False) if scanned else model
 
-    def _finish(variables):
-        if scanned:
-            from ..models.rin import stack_rcw_block_params
+    def _finish(variables, on_disk_scanned: bool):
+        from ..models.rin import (
+            stack_rcw_block_params,
+            unstack_rcw_block_params,
+        )
 
+        if scanned and not on_disk_scanned:
             return stack_rcw_block_params(variables)
+        if on_disk_scanned and not scanned:
+            return unstack_rcw_block_params(variables)
         return variables
 
     if path.endswith(".pt"):
-        return _finish(load_torch_checkpoint(path))
+        return _finish(load_torch_checkpoint(path), False)
+    from ..core.checkpoint import detect_scanned_layout
     from .train import init_params
 
-    template = create_train_state(base, init_params(base, cfg, key), lr=1e-4,
-                                  total_steps=1)
-    state, _ = restore_checkpoint(path, template)
-    params = state.params["params"] if "params" in state.params else state.params
-    return _finish({"params": params})
+    detected = detect_scanned_layout(path)
+    # Undetectable metadata: assume the documented unrolled convention
+    # first, fall back to the stacked template on structure mismatch.
+    layouts = [detected] if detected is not None else [False, True]
+    last_err = None
+    for on_disk_scanned in layouts:
+        base = (model if on_disk_scanned == scanned
+                else model.clone(scan_blocks=on_disk_scanned))
+        template = create_train_state(base, init_params(base, cfg, key),
+                                      lr=1e-4, total_steps=1)
+        try:
+            state, _ = restore_checkpoint(path, template)
+        except Exception as e:  # orbax raises on tree-structure mismatch
+            last_err = e
+            continue
+        params = (state.params["params"] if "params" in state.params
+                  else state.params)
+        return _finish({"params": params}, on_disk_scanned)
+    raise last_err
 
 
 def save_cloud_batch(points: np.ndarray, out_dir: str, prefix: str,

@@ -73,6 +73,36 @@ def latest_checkpoint_step(directory: str) -> Optional[int]:
     return step
 
 
+def detect_scanned_layout(directory: str, step: Optional[int] = None) -> Optional[bool]:
+    """Whether an orbax checkpoint holds the scanned (``blocks/block``)
+    RCW param layout (True), the unrolled ``block_0..`` layout (False), or
+    neither/undetectable (None).
+
+    Reads the saved tree structure from the checkpoint's metadata JSON
+    (stringified key paths) — no restore, no template. Callers fall back
+    to trying both templates when this returns None.
+    """
+    import json
+
+    if step is None:
+        step = latest_checkpoint_step(directory)
+        if step is None:
+            return None
+    meta_path = os.path.join(
+        os.path.abspath(directory), str(step), "default", "_METADATA"
+    )
+    try:
+        with open(meta_path) as f:
+            keys = json.load(f)["tree_metadata"].keys()
+    except Exception:
+        return None
+    has_stacked = any("'blocks', 'block'" in k for k in keys)
+    has_unrolled = any("'block_0'" in k for k in keys)
+    if has_stacked == has_unrolled:  # both or neither: not a layout we know
+        return None
+    return has_stacked
+
+
 # ------------------------------------------------------------- torch import
 
 def _t(x) -> np.ndarray:

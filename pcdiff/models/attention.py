@@ -130,10 +130,12 @@ _GELU_IMPL = "erf"  # erf | tanh
 
 
 def set_gelu_impl(mode: str) -> None:
-    """Select the GELU flavor the transformer MLPs apply (the per-token
-    fc1 epilogues that dominate the denoiser; the tiny once-per-batch
-    conditioning-encoder MLPs stay exact-erf): 'erf' (exact, torch
-    ``nn.GELU()`` parity — the default) or 'tanh' (torch
+    """Select the GELU flavor applied by every MLP that routes through
+    ``gelu_act()``/``gelu_approximate()`` — the denoiser's per-token fc1
+    epilogues AND the conditioning encoders' Encoder/DecoderLayer MLPs.
+    Only the literal ``nn.gelu`` stems in encoders.py/rotary.py stay
+    exact-erf regardless. Modes: 'erf' (exact, torch ``nn.GELU()``
+    parity — the default) or 'tanh' (torch
     ``approximate='tanh'``; |err| <= 1.5e-3 abs vs exact). On TPU the
     tanh form rides the hardware exp instead of a ~12-term erf rational
     on the VPU — it exists as a quality-gated perf lever for the

@@ -129,12 +129,13 @@ def _apply_act(o32, act, erf=jax.lax.erf):
         # exact (erf) GELU, matching nn.gelu(approximate=False)
         return o32 * 0.5 * (1.0 + erf(o32 * (2.0**-0.5)))
     # The sigmoid-form epilogues clamp exp's argument to +-30: sigmoid(30)
-    # rounds to exactly 1.0/0.0 in f32 (saturation beyond f32 epsilon), so
-    # the forward is bit-identical, while AUTODIFF through the unclamped
-    # form is inf*0=NaN once exp overflows (pre-activation < ~-52 for
-    # quick_gelu, < ~-11 for gelu_tanh's cubic argument). Inside the clamp
-    # the gradient is exact; outside, clip's zero-grad makes it exactly
-    # the saturated 0/1 — the true gradient.
+    # rounds to 1.0/0.0 in f32, so the forward matches the unclamped form
+    # to within ~1e-13 absolute in the saturated tail (the unclamped form
+    # returns an exact -0.0 once exp overflows to inf — pre-activation
+    # < ~-17.6 for quick_gelu, < ~-6.5 for gelu_tanh — where the clamped
+    # form returns x*~9.4e-14), while AUTODIFF through the unclamped form
+    # is inf*0=NaN there. Inside the clamp the gradient is exact; outside,
+    # clip's zero-grad makes it the saturated 0/1 — the true gradient.
     if act == "quick_gelu":
         # x * sigmoid(1.702 x) (CLIP), via exp (Mosaic has no logistic)
         return o32 / (1.0 + jnp.exp(jnp.clip(-1.702 * o32, -30.0, 30.0)))

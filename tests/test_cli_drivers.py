@@ -40,6 +40,46 @@ def tiny_setup(tmp_path_factory):
     return cfg, ckpt_dir
 
 
+def test_load_params_scan_trained_checkpoint(tiny_setup, tmp_path):
+    """A model.scan_blocks=true training run saves the STACKED blocks/block
+    layout; load_params must detect it and restore for both scanned and
+    unrolled sampling (ADVICE r4: previously only unrolled->stacked worked)."""
+    from pcdiff.core.config import apply_overrides
+    from pcdiff.cli.sample import load_params
+    from pcdiff.cli.train import build_model, init_params
+
+    cfg, _ = tiny_setup
+    cfg_scan = apply_overrides(cfg, ["model.scan_blocks=true",
+                                     "model.num_blocks=2"])
+    model_scan = build_model(cfg_scan)
+    params = init_params(model_scan, cfg_scan, jax.random.PRNGKey(3))
+    assert "blocks" in params["params"]["backbone"]  # stacked on disk
+    state = create_train_state(model_scan, params, lr=1e-3, total_steps=10)
+    ckpt_dir = str(tmp_path / "scan_ckpt")
+    save_checkpoint(ckpt_dir, 1, jax.device_get(state))
+
+    from pcdiff.core.checkpoint import detect_scanned_layout
+
+    assert detect_scanned_layout(ckpt_dir) is True
+
+    cfg_load = apply_overrides(cfg_scan,
+                               [f"sample.load_checkpoint_path={ckpt_dir}"])
+    restored_scan = load_params(cfg_load, model_scan, jax.random.PRNGKey(4))
+    for a, b in zip(jax.tree.leaves(restored_scan), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg_unrolled = apply_overrides(cfg_load, ["model.scan_blocks=false"])
+    model_unrolled = build_model(cfg_unrolled)
+    restored_unrolled = load_params(cfg_unrolled, model_unrolled,
+                                    jax.random.PRNGKey(4))
+    assert "block_0" in restored_unrolled["params"]["backbone"]
+    from pcdiff.models.rin import stack_rcw_block_params
+
+    for a, b in zip(jax.tree.leaves(stack_rcw_block_params(restored_unrolled)),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_evaluate_driver_end_to_end(tiny_setup, tmp_path, monkeypatch):
     cfg, ckpt_dir = tiny_setup
     monkeypatch.chdir(tmp_path)  # evaluation log file lands here
