@@ -97,7 +97,9 @@ def init_params(model: TwoStreamDenoiser, cfg: Config, key):
         partial_pcd=jnp.zeros((B, m.num_points, 3)),
         depth_maps=jnp.zeros((B, m.depth_image_size, m.depth_image_size, 1)),
     )
-    return model.init(key, **dummy)
+    # ALWAYS jit init: eager flagship init is thousands of op dispatches
+    # through the axon tunnel (~5-10 min of pure latency; bench.py docstring)
+    return jax.jit(model.init)(key, **dummy)
 
 
 def main(cfg: Config) -> None:
@@ -173,9 +175,9 @@ def main(cfg: Config) -> None:
     for epoch in range(cfg.train.epochs):
         loader.set_epoch(epoch)
         use_cd = jnp.asarray(epoch + 1 > cfg.train.start_chamfer)
-        epoch_loss, n_batches = 0.0, 0
         t0 = time.time()
         last_batch = None
+        step_metrics = []  # device scalars; fetched in ONE bulk get below
         profiling = bool(cfg.train.profile_dir) and epoch == 1
         with profile_trace(cfg.train.profile_dir or None, enabled=profiling):
             for batch in loader:
@@ -187,12 +189,21 @@ def main(cfg: Config) -> None:
                 state, metrics = step_fn(state, batch, sub, use_cd)
                 if ema_fn is not None:
                     ema_params = ema_fn(ema_params, state.params)
-                loss = float(metrics["loss"])
-                epoch_loss += loss
-                n_batches += 1
-                global_step += 1
-                mlog.log({"loss": loss, "mse": float(metrics["mse"])},
-                         step=global_step)
+                step_metrics.append(metrics)
+            # Fetching metrics per step costs a tunnel round trip that
+            # serializes the device queue (~2.5x the device step time
+            # measured on the flagship run); one bulk device_get per epoch
+            # keeps the steps pipelined and the logs identical. Inside the
+            # profile scope so a profiled epoch captures completed steps.
+            host_metrics = jax.device_get(step_metrics)
+        n_batches = len(step_metrics)
+        epoch_loss = 0.0
+        for m in host_metrics:
+            loss = float(m["loss"])
+            epoch_loss += loss
+            global_step += 1
+            mlog.log({"loss": loss, "mse": float(m["mse"])},
+                     step=global_step)
         if (
             jax.process_index() == 0
             and last_batch is not None
