@@ -45,6 +45,8 @@ __all__ = [
     "sample_dpm",
     "sample_euler_ancestral",
     "sample_guided_interval",
+    "gi_segment_runs",
+    "cond_segment_denoise_fn",
     "half_model_kwargs",
     "karras_sample",
 ]
@@ -522,6 +524,53 @@ def half_model_kwargs(model_kwargs, batch_size: int):
     return {k: half(v) for k, v in (model_kwargs or {}).items()}
 
 
+def gi_segment_runs(
+    sigmas: np.ndarray, guidance_interval: Tuple[float, float]
+):
+    """Static segmentation of a sigma grid by CFG membership.
+
+    Returns ``[(first_step, last_step_exclusive, cfg_on)]`` — contiguous
+    runs of steps whose anchor sigma is inside/outside ``[lo, hi]``. Host
+    computation over the static grid; shared by the monolithic
+    :func:`sample_guided_interval` and the concurrently-compiled
+    per-segment programs (:mod:`pcdiff.diffusion.precompile`).
+    """
+    lo, hi = guidance_interval
+    n = len(sigmas) - 1
+    use_cfg = [bool(lo <= float(sigmas[i]) <= hi) for i in range(n)]
+    runs = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and use_cfg[j] == use_cfg[i]:
+            j += 1
+        runs.append((i, j, use_cfg[i]))
+        i = j
+    return runs
+
+
+def cond_segment_denoise_fn(denoise_cond: DenoiseFn, B: int) -> DenoiseFn:
+    """Wrap a B-row conditional denoiser to run against a 2B CFG state:
+    reads/writes the first B state rows, leaves the unconditional rows
+    untouched (they resume, one segment stale, when CFG re-engages)."""
+
+    def cond_segment_denoise(x, s, full_state):
+        if full_state is None:
+            return denoise_cond(x, s, None)
+        half = jax.tree.map(lambda l: l[:B], full_state)
+        x0, half = denoise_cond(x, s, half)
+        merged = jax.tree.map(
+            lambda full, h: jax.lax.dynamic_update_slice_in_dim(
+                full, h.astype(full.dtype), 0, axis=0
+            ),
+            full_state,
+            half,
+        )
+        return x0, merged
+
+    return cond_segment_denoise
+
+
 def sample_guided_interval(
     denoise_cond: DenoiseFn,
     denoise_cfg: DenoiseFn,
@@ -561,33 +610,10 @@ def sample_guided_interval(
     n-entry trajectory — the same per-step yield surface as the plain
     solvers (reference ``sampler.py:165-171`` semantics).
     """
-    lo, hi = guidance_interval
+    runs = gi_segment_runs(sigmas, guidance_interval)
     n = len(sigmas) - 1
-    use_cfg = [bool(lo <= float(sigmas[i]) <= hi) for i in range(n)]
-    runs = []  # (first_step, last_step_exclusive, cfg_on)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and use_cfg[j] == use_cfg[i]:
-            j += 1
-        runs.append((i, j, use_cfg[i]))
-        i = j
-
     B = int(cond_batch if cond_batch is not None else x_T.shape[0])
-
-    def cond_segment_denoise(x, s, full_state):
-        if full_state is None:
-            return denoise_cond(x, s, None)
-        half = jax.tree.map(lambda l: l[:B], full_state)
-        x0, half = denoise_cond(x, s, half)
-        merged = jax.tree.map(
-            lambda full, h: jax.lax.dynamic_update_slice_in_dim(
-                full, h.astype(full.dtype), 0, axis=0
-            ),
-            full_state,
-            half,
-        )
-        return x0, merged
+    cond_segment_denoise = cond_segment_denoise_fn(denoise_cond, B)
 
     solver = _SAMPLERS[sampler]
     x, out = x_T, None

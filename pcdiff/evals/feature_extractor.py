@@ -41,7 +41,15 @@ class PointNetClassifier:
         width_mult: int = 2,
         num_class: int = 40,
         mesh=None,
+        dtype=None,
     ):
+        """``dtype=np.float64`` runs the extractor forward in float64
+        (requires ``jax_enable_x64``). fp32 GEMMs are reduction-order
+        sensitive — full-batch vs chunked evaluation of IDENTICAL
+        weights+inputs moves P-FID by ~5% at n=240 through the
+        ill-conditioned 512-dim Frechet sqrtm — so cross-implementation
+        P-FID parity checks (scripts/pfid_evidence.py) canonicalize both
+        pipelines to f64, where order jitter collapses below 1e-9."""
         self.model = PointNet2ClassifierSSG(
             num_class=num_class, normal_channel=False, width_mult=width_mult
         )
@@ -55,6 +63,13 @@ class PointNetClassifier:
             if "model_state_dict" in sd:
                 sd = sd["model_state_dict"]
             params = import_pointnet2_torch_state(sd)
+        self.dtype = np.dtype(dtype) if dtype is not None else np.dtype(np.float32)
+        if self.dtype == np.float64:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                params,
+            )
         self.variables = params
         self.batch_size = batch_size
         # The reference fans batches out over GPUs with a thread pool
@@ -79,7 +94,7 @@ class PointNetClassifier:
 
     def features_and_preds(self, point_clouds: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """point_clouds: [N, P, 3] -> (features [N, F], preds [N, C])."""
-        pc = normalize_point_clouds(np.asarray(point_clouds, dtype=np.float32))
+        pc = normalize_point_clouds(np.asarray(point_clouds, dtype=self.dtype))
         n = len(pc)
         feats_out, preds_out = [], []
         for i in range(0, n, self.batch_size):

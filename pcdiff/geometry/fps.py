@@ -38,7 +38,11 @@ def farthest_point_sample(
     otherwise ``key`` picks a random start per batch element.
     """
     B, N, _ = points.shape
-    points = points.astype(jnp.float32)
+    # distance comparisons need >= f32 accuracy (bf16 ties flip indices);
+    # f64 inputs stay f64 so the P-FID canonical-double pipeline matches
+    # the torch reference's double FPS index-for-index
+    if points.dtype not in (jnp.float32, jnp.float64):
+        points = points.astype(jnp.float32)
 
     if deterministic or key is None:
         # the reference's deterministic mode seeds batch element b at point
@@ -56,7 +60,7 @@ def farthest_point_sample(
         return idx, dist, jnp.argmax(dist, axis=-1).astype(jnp.int32)
 
     idx0 = jnp.zeros((B, num_samples), dtype=jnp.int32)
-    dist0 = jnp.full((B, N), jnp.finfo(jnp.float32).max, dtype=jnp.float32)
+    dist0 = jnp.full((B, N), jnp.finfo(points.dtype).max, dtype=points.dtype)
     idx, _, _ = jax.lax.fori_loop(0, num_samples, body, (idx0, dist0, start))
     return idx
 

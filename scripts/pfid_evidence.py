@@ -222,13 +222,22 @@ def train_extractor(train_h5: str, path: str, epochs: int = 8) -> None:
 
 def measure() -> None:
     """P-FID / P-IS through the pcdiff CLIs on the sampled npz batches,
-    cross-checked against the torch reference pipeline on identical data."""
+    cross-checked against the torch reference pipeline on identical data.
+
+    Both extractor forwards run in FLOAT64 (VERDICT r4 task 5): in fp32,
+    GEMM reduction order alone (full-batch vs chunked evaluation of
+    identical weights+inputs in the SAME torch pipeline) moved P-FID by
+    ~5.1% at n=240 through the ill-conditioned 512-dim Frechet sqrtm,
+    which made a <=1% cross-implementation bar unfalsifiable. In f64 the
+    order-jitter bound collapses to ~1e-9 and the jax-vs-torch delta
+    measures actual pipeline math, not accumulation noise."""
     import numpy as np
 
-    # CPU + float32 matmuls: the cross-check target is torch-CPU float32.
+    # CPU + f64: the cross-check target is the torch reference in double.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
 
     import torch
@@ -240,6 +249,7 @@ def measure() -> None:
 
     batches = {
         name: np.load(os.path.join(WORK, f"{name}.npz"))["arr_0"]
+        .astype(np.float64)
         for name in ("samples", "gt", "partial")
     }
 
@@ -253,39 +263,51 @@ def measure() -> None:
     ref_cls = ref_module("evals.pointnet2_cls_ssg")
 
     def one_extractor(ckpt_path):
-        clf = PointNetClassifier(torch_checkpoint_path=ckpt_path)
+        clf = PointNetClassifier(torch_checkpoint_path=ckpt_path,
+                                 dtype=np.float64)
         ref_model = ref_cls.get_model(num_class=40, normal_channel=False,
                                       width_mult=2)
         sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
         ref_model.load_state_dict(sd["model_state_dict"])
-        ref_model.eval()
+        ref_model.double().eval()
 
         jax_out = {k: clf.features_and_preds(v) for k, v in batches.items()}
 
-        def ref_feats_preds(batch):
+        def ref_feats_preds(batch, torch_dtype=torch.float64):
             pc = normalize_point_clouds(batch)
             with torch.no_grad():
-                log_probs, _, feats = ref_model(
-                    torch.from_numpy(pc).permute(0, 2, 1), features=True
+                log_probs, _, feats = ref_model.to(torch_dtype)(
+                    torch.from_numpy(pc).permute(0, 2, 1).to(torch_dtype),
+                    features=True,
                 )
-            return feats.numpy(), np.exp(log_probs.numpy())
+            return (feats.double().numpy(), np.exp(log_probs.double().numpy()))
 
-        ref_out = {k: ref_feats_preds(v) for k, v in batches.items()}
-
-        # Same-pipeline jitter bound (VERDICT r3 #7): the torch reference
-        # evaluated a second way — chunked batches change the GEMM shapes
-        # and accumulation order, the same class of fp32 non-associativity
-        # that separates the jax and torch pipelines (and that different
-        # BLAS builds exhibit). The FID delta between the two TORCH
-        # evaluations of identical weights+inputs bounds what cross-
-        # implementation agreement can mean at this n.
-        def ref_feats_chunked(batch, chunk=48):
-            parts = [ref_feats_preds(batch[i:i + chunk])
+        # CANONICAL comparison (VERDICT r4 task 5): the reference's
+        # deterministic FPS seeds batch element b at point index b
+        # (evals/pointnet2_utils.py:107-108), so features depend on each
+        # cloud's POSITION within its evaluation chunk — semantically, not
+        # as noise. Round 4 compared jax (chunk=64) against torch
+        # (full-batch), so rows >= 64 ran different FPS trajectories and
+        # the 5.1% "jitter bound" was mostly this position effect plus
+        # fp32 GEMM order noise. Canonical form: BOTH pipelines chunk at
+        # 64 (row i of every chunk starts FPS at point i in both) and both
+        # run in float64 (order noise ~1e-12). The remaining delta is pure
+        # pipeline math, so the <=1% bar is falsifiable.
+        def ref_feats_chunked(batch, chunk=64, torch_dtype=torch.float64):
+            parts = [ref_feats_preds(batch[i:i + chunk], torch_dtype)
                      for i in range(0, len(batch), chunk)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
 
-        ref_chunked = {k: ref_feats_chunked(v) for k, v in batches.items()}
+        ref_out = {k: ref_feats_chunked(v) for k, v in batches.items()}
+
+        # Documentation rows: (a) full-batch vs chunk=64 in f64 isolates
+        # the pure FPS position effect; (b) fp32 vs f64 at identical
+        # chunking isolates the accumulation-order noise the old bound
+        # conflated with it.
+        ref_fullbatch = {k: ref_feats_preds(v) for k, v in batches.items()}
+        ref_f32 = {k: ref_feats_chunked(v, torch_dtype=torch.float32)
+                   for k, v in batches.items()}
 
         # Raw pipeline agreement on identical inputs+weights: the FID
         # deltas below amplify these through an ill-conditioned sqrtm of
@@ -320,18 +342,28 @@ def measure() -> None:
             return compute_statistics(f[:half]).frechet_distance(
                 compute_statistics(f[half:]))
 
-        torch_jitter_absdiff = max(
-            float(np.max(np.abs(ref_chunked[k][0] - ref_out[k][0])))
-            for k in batches
-        )
         block = {
             "feature_max_absdiff": feat_absdiff,
             "feature_scale": feat_scale,
-            "torch_order_jitter": {
-                "feature_max_absdiff": torch_jitter_absdiff,
-                "pfid_samples_vs_gt_full": pfid(ref_out, "samples", "gt"),
-                "pfid_samples_vs_gt_chunked": pfid(ref_chunked, "samples",
-                                                   "gt"),
+            # pure FPS-start position effect (semantic, not noise):
+            "fps_position_sensitivity": {
+                "feature_max_absdiff": max(
+                    float(np.max(np.abs(ref_fullbatch[k][0] - ref_out[k][0])))
+                    for k in batches
+                ),
+                "pfid_samples_vs_gt_full": pfid(ref_fullbatch, "samples",
+                                                "gt"),
+                "pfid_samples_vs_gt_chunked": pfid(ref_out, "samples", "gt"),
+            },
+            # fp32 accumulation-order noise at identical chunking — the
+            # scale of what the f64 canonicalization removed:
+            "fp32_noise_scale": {
+                "feature_max_absdiff": max(
+                    float(np.max(np.abs(ref_f32[k][0] - ref_out[k][0])))
+                    for k in batches
+                ),
+                "pfid_samples_vs_gt_f32": pfid(ref_f32, "samples", "gt"),
+                "pfid_samples_vs_gt_f64": pfid(ref_out, "samples", "gt"),
             },
             "pfid_samples_vs_gt": {"jax": pfid(jax_out, "samples", "gt"),
                                    "torch_ref": pfid(ref_out, "samples", "gt")},
@@ -348,10 +380,14 @@ def measure() -> None:
             if isinstance(v, dict) and "jax" in v:
                 v["rel_delta"] = abs(v["jax"] - v["torch_ref"]) / max(
                     abs(v["torch_ref"]), 1e-12)
-        tj = block["torch_order_jitter"]
-        tj["rel_delta"] = abs(
-            tj["pfid_samples_vs_gt_chunked"] - tj["pfid_samples_vs_gt_full"]
-        ) / max(abs(tj["pfid_samples_vs_gt_full"]), 1e-12)
+        ps = block["fps_position_sensitivity"]
+        ps["rel_delta"] = abs(
+            ps["pfid_samples_vs_gt_full"] - ps["pfid_samples_vs_gt_chunked"]
+        ) / max(abs(ps["pfid_samples_vs_gt_chunked"]), 1e-12)
+        nz = block["fp32_noise_scale"]
+        nz["rel_delta"] = abs(
+            nz["pfid_samples_vs_gt_f32"] - nz["pfid_samples_vs_gt_f64"]
+        ) / max(abs(nz["pfid_samples_vs_gt_f64"]), 1e-12)
         return block
 
     results = {
