@@ -56,27 +56,32 @@ def load_params(cfg: Config, model, key):
 
     if path.endswith(".pt"):
         return _finish(load_torch_checkpoint(path), False)
-    from ..core.checkpoint import detect_scanned_layout
+    from ..core.checkpoint import detect_bare_params, detect_scanned_layout
     from .train import init_params
 
     detected = detect_scanned_layout(path)
     # Undetectable metadata: assume the documented unrolled convention
     # first, fall back to the stacked template on structure mismatch.
     layouts = [detected] if detected is not None else [False, True]
+    # EMA shadows (run_dir/ema) are bare variables pytrees, not TrainStates.
+    bare = detect_bare_params(path)
+    kinds = [bare] if bare is not None else [False, True]
     last_err = None
     for on_disk_scanned in layouts:
         base = (model if on_disk_scanned == scanned
                 else model.clone(scan_blocks=on_disk_scanned))
-        template = create_train_state(base, init_params(base, cfg, key),
-                                      lr=1e-4, total_steps=1)
-        try:
-            state, _ = restore_checkpoint(path, template)
-        except Exception as e:  # orbax raises on tree-structure mismatch
-            last_err = e
-            continue
-        params = (state.params["params"] if "params" in state.params
-                  else state.params)
-        return _finish({"params": params}, on_disk_scanned)
+        variables_tpl = init_params(base, cfg, key)
+        for is_bare in kinds:
+            template = variables_tpl if is_bare else create_train_state(
+                base, variables_tpl, lr=1e-4, total_steps=1)
+            try:
+                restored, _ = restore_checkpoint(path, template)
+            except Exception as e:  # orbax raises on tree-structure mismatch
+                last_err = e
+                continue
+            tree = restored if is_bare else restored.params
+            params = tree["params"] if "params" in tree else tree
+            return _finish({"params": params}, on_disk_scanned)
     raise last_err
 
 

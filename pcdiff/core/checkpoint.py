@@ -103,6 +103,28 @@ def detect_scanned_layout(directory: str, step: Optional[int] = None) -> Optiona
     return has_stacked
 
 
+def detect_bare_params(directory: str, step: Optional[int] = None) -> Optional[bool]:
+    """Whether an orbax checkpoint holds a BARE params/variables pytree
+    (True — e.g. the EMA shadow ``cli.train`` saves under ``run_dir/ema``)
+    or a full TrainState with optimizer state (False), or is undetectable
+    (None). Same metadata-JSON probe as :func:`detect_scanned_layout`."""
+    import json
+
+    if step is None:
+        step = latest_checkpoint_step(directory)
+        if step is None:
+            return None
+    meta_path = os.path.join(
+        os.path.abspath(directory), str(step), "default", "_METADATA"
+    )
+    try:
+        with open(meta_path) as f:
+            keys = json.load(f)["tree_metadata"].keys()
+    except Exception:
+        return None
+    return not any("'opt_state'" in k for k in keys)
+
+
 # ------------------------------------------------------------- torch import
 
 def _t(x) -> np.ndarray:

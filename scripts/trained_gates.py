@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 GATES = [
+    # 64-step fp32 heun reference point (the shapes_evidence
+    # "trained_heldout" equivalent, produced in-harness so flagship-scale
+    # runs get their baseline without a separate script)
+    ("baseline", []),
     ("steps-48", ["sample.karras_steps=48"]),
     ("steps-32", ["sample.karras_steps=32"]),
     ("steps-24", ["sample.karras_steps=24"]),
@@ -97,6 +101,15 @@ GATES = [
                             "sample.sampler=heun_reuse",
                             "sample.guidance_interval_lo=0.1",
                             "sample.guidance_interval_hi=10.0"]),
+    # EMA shadow params (VERDICT r4 task 6 — beyond-reference lever; the
+    # shadow saves under run_dir/ema during training): gated on the fp32
+    # baseline AND on the full fast-stack default, vs the raw-params rows
+    # of the same names.
+    ("ema-baseline", [], "ema"),
+    ("ema-bf16-gi-reuse", ["model.compute_dtype=bfloat16",
+                           "sample.sampler=heun_reuse",
+                           "sample.guidance_interval_lo=0.1",
+                           "sample.guidance_interval_hi=10.0"], "ema"),
 ]
 
 
@@ -134,17 +147,22 @@ def main(run_dir: str, config_path: str, test_h5: str,
     if only and os.path.exists(dest):
         with open(dest) as f:
             results = json.load(f)  # merge new gates into the record
-    for name, overrides in GATES:
+    for row in GATES:
+        name, overrides = row[0], row[1]
+        use_ema = len(row) > 2 and row[2] == "ema"
         if only and name not in only:
             continue
+        row_ckpt = os.path.join(run_dir, "ema") if use_ema else ckpt
         cfg = apply_overrides(base, [
             f"data.h5_path={test_h5}",
-            f"sample.load_checkpoint_path={ckpt}",
+            f"sample.load_checkpoint_path={row_ckpt}",
             *overrides,
         ])
         print(f"=== {name} ===", flush=True)
         out = eval_main(cfg)
         results[name] = make_gate_row(out, overrides, run_dir)
+        if use_ema:
+            results[name]["ema_params"] = True
         print(f"{name}: cd={out['overall']['cd_full']:.6f} "
               f"f1={out['overall']['f1_full']:.6f}", flush=True)
 

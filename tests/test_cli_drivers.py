@@ -74,6 +74,22 @@ def test_train_driver_end_to_end(tiny_setup, tmp_path):
                             jax.random.PRNGKey(0))
     assert "params" in variables
 
+    # The EMA shadow is a BARE params pytree (no TrainState); load_params
+    # must detect that from checkpoint metadata and restore it too. After
+    # ema_decay=0.9 x 6 steps from an init copy, EMA != raw params.
+    cfg_ema = apply_overrides(cfg, [
+        "sample.load_checkpoint_path=" + os.path.join(run_dir, "ema")
+    ])
+    ema_vars = load_params(cfg_ema, build_model(cfg_ema),
+                           jax.random.PRNGKey(0))
+    raw_leaves = jax.tree.leaves(variables)
+    ema_leaves = jax.tree.leaves(ema_vars)
+    assert len(raw_leaves) == len(ema_leaves)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(raw_leaves, ema_leaves)
+    )
+
 
 def test_load_params_scan_trained_checkpoint(tiny_setup, tmp_path):
     """A model.scan_blocks=true training run saves the STACKED blocks/block
