@@ -248,9 +248,30 @@ def main():
     # HLO constants, which (a) ships the 33 MB depth maps inside every
     # remote_compile request (the tunnel 413s at B=64) and (b) would let
     # XLA constant-fold conditioning work out of the measured program.
-    run = jax.jit(
-        lambda key, b: sampler.sample_batch(B, b, key)
-    )
+    #
+    # PCDIFF_BENCH_SEGCOMPILE=1 (gi programs only): compile the trajectory
+    # as per-segment programs IN PARALLEL (pcdiff.diffusion.precompile) —
+    # the server overlaps compile requests 1.79x, so the cold wall drops
+    # to ~max(segment walls). Numerically pinned identical to the
+    # monolithic program (tests/test_precompile.py); the steady-state
+    # throughput path is the same scans, so only wall_s should move.
+    seg_env = os.environ.get("PCDIFF_BENCH_SEGCOMPILE", "")
+    seg_compile = seg_env in ("1", "on", "true") and guidance_interval is not None
+    if seg_compile:
+        from pcdiff.diffusion.precompile import precompile_segmented_sampler
+
+        t_c0 = time.perf_counter()
+        seg = precompile_segmented_sampler(sampler, B, batch)
+        seg_wall = time.perf_counter() - t_c0
+        print(json.dumps({
+            "segmented_compile_wall_s": round(seg_wall, 1),
+            "per_program_s": [round(w, 1) for w in seg.compile_seconds],
+        }), file=__import__("sys").stderr)
+        run = lambda key, b: seg(b, key)
+    else:
+        run = jax.jit(
+            lambda key, b: sampler.sample_batch(B, b, key)
+        )
 
     base_key = jax.random.PRNGKey(_entropy_seed())
 
@@ -291,6 +312,8 @@ def main():
                          flops_per_batch=flops)
     if scan_blocks:  # disclosed when on; math-identical, so the metric
         record["scan_blocks"] = True  # name and vs_baseline are unchanged
+    if seg_compile:  # disclosed: parity-pinned compile-wall lever
+        record["segmented_compile"] = True
     print(json.dumps(record))
 
 

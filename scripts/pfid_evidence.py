@@ -275,11 +275,19 @@ def measure() -> None:
 
         def ref_feats_preds(batch, torch_dtype=torch.float64):
             pc = normalize_point_clouds(batch)
-            with torch.no_grad():
-                log_probs, _, feats = ref_model.to(torch_dtype)(
-                    torch.from_numpy(pc).permute(0, 2, 1).to(torch_dtype),
-                    features=True,
-                )
+            # the reference's farthest_point_sample allocates its distance
+            # table via torch.ones (pointnet2_utils.py:106) — factory-default
+            # dtype — so the double path needs the default flipped too
+            prev_default = torch.get_default_dtype()
+            torch.set_default_dtype(torch_dtype)
+            try:
+                with torch.no_grad():
+                    log_probs, _, feats = ref_model.to(torch_dtype)(
+                        torch.from_numpy(pc).permute(0, 2, 1).to(torch_dtype),
+                        features=True,
+                    )
+            finally:
+                torch.set_default_dtype(prev_default)
             return (feats.double().numpy(), np.exp(log_probs.double().numpy()))
 
         # CANONICAL comparison (VERDICT r4 task 5): the reference's
