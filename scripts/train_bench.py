@@ -64,13 +64,25 @@ def main() -> None:
 
         set_lndense_bwd_backend("xla")
         mode = "xla-lndense-bwd"
+    dtype = jnp.float32
+    if "--bf16" in sys.argv:
+        # bf16 activations in the train step (params/optimizer stay fp32):
+        # targets the elementwise backward chains (128 ms of 393 in the
+        # fp32 trace, VPU-byte-bound) by halving their bytes and dropping
+        # the f32<->bf16 converts XLA threads through them
+        dtype = jnp.bfloat16
+        mode = f"{mode}+bf16" if mode != "default" else "bf16"
+    profile_dir = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--profile=")),
+        None,
+    )
 
     B, N = 32, 1024
     model = TwoStreamDenoiser(
         num_points=N, num_latents=256, latent_dim=256, x_dim=256,
         num_blocks=6, num_compute_layers=4, num_heads=8, num_classes=10,
         num_tokens_ppcd=256, num_tokens_depth=128, depth_image_size=512,
-        depth_patch=32,
+        depth_patch=32, dtype=dtype,
     )
     rng = np.random.default_rng(_entropy_seed())
     raw = synthetic_batch(rng, batch_size=B, num_points=N, num_partial=N,
@@ -100,6 +112,17 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     print(f"train_step[{mode}]: {dt * 1e3:.1f} ms/step "
           f"({B / dt:.1f} samples/s)")
+
+    if profile_dir:  # device trace of 2 steady-state steps (xplane+chrome)
+        from pcdiff.core.logging import profile_trace
+
+        with profile_trace(profile_dir, enabled=True):
+            for i in range(2):
+                state, metrics = step(
+                    state, batch, jax.random.fold_in(key, 100 + i),
+                    jnp.asarray(True))
+                float(metrics["loss"])
+        print(f"trace written to {profile_dir}")
 
 
 if __name__ == "__main__":
