@@ -37,9 +37,42 @@ from ..data import (
 from ..diffusion import diffusion_from_betas
 from ..models import TwoStreamDenoiser
 from ..parallel import fold_in_process, make_mesh, replicate, shard_batch
-from ..train import create_train_state, make_train_step
+from ..parallel.mesh import batch_sharding
+from ..train import create_train_state, make_device_data_step, make_train_step
 
 logger = logging.getLogger("pcdiff.train")
+
+# 'auto' device_data threshold: the stacked normalized tensors must leave
+# most of a 16 GB chip for the train step's activations
+_DEVICE_DATA_MAX_BYTES = 2e9
+
+
+def stack_dataset(dataset, seed: int):
+    """One normalized host copy of every dataset item, stacked per key.
+
+    The per-item random target permutation inside ``__getitem__`` is
+    re-randomized on-device every step by the device-data path, so the
+    fixed build-time rng here adds no bias."""
+    rng = np.random.default_rng(seed)
+    items = [dataset.__getitem__(i, rng=rng) for i in range(len(dataset))]
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def _device_data_enabled(cfg: Config, dataset) -> bool:
+    mode = getattr(cfg.train, "device_data", "auto")
+    if mode == "off":
+        return False
+    if jax.process_count() > 1:
+        # multi-host runs stream per-host shards (each host's transfers are
+        # local, not tunnel round trips)
+        if mode == "on":
+            logger.warning("train.device_data=on ignored: multi-process run")
+        return False
+    if mode == "on":
+        return True
+    sample = dataset.__getitem__(0, rng=np.random.default_rng(0))
+    total = sum(np.asarray(v).nbytes for v in sample.values()) * len(dataset)
+    return total < _DEVICE_DATA_MAX_BYTES
 
 
 def build_model(cfg: Config) -> TwoStreamDenoiser:
@@ -151,11 +184,32 @@ def main(cfg: Config) -> None:
         logger.info("restored full train state at step %d", step)
 
     state = replicate(mesh, state)
-    step_fn = make_train_step(
-        model, diffusion,
-        self_conditioning_prob=cfg.train.self_conditioning_prob,
-        bootstrap_include_partial_pcd=cfg.train.bootstrap_include_partial_pcd,
-    )
+    use_device_data = _device_data_enabled(cfg, dataset)
+    if use_device_data:
+        step_fn = make_device_data_step(
+            model, diffusion,
+            self_conditioning_prob=cfg.train.self_conditioning_prob,
+            bootstrap_include_partial_pcd=cfg.train.bootstrap_include_partial_pcd,
+        )
+        host_data = stack_dataset(dataset, cfg.train.seed)
+        # data replicated over the mesh; the per-step int32 index row is
+        # sharded over the data axis, so the gathered batch (and therefore
+        # the whole step) stays data-parallel exactly like shard_batch
+        data_dev = replicate(
+            mesh, {k: jnp.asarray(v) for k, v in host_data.items()}
+        )
+        idx_sharding = batch_sharding(mesh)
+        logger.info(
+            "device-resident dataset: %d items, %.2f GB on device",
+            len(dataset),
+            sum(v.nbytes for v in host_data.values()) / 1e9,
+        )
+    else:
+        step_fn = make_train_step(
+            model, diffusion,
+            self_conditioning_prob=cfg.train.self_conditioning_prob,
+            bootstrap_include_partial_pcd=cfg.train.bootstrap_include_partial_pcd,
+        )
 
     from ..core.logging import MetricsLogger, profile_trace
     from ..train import ema_update, init_ema
@@ -180,16 +234,32 @@ def main(cfg: Config) -> None:
         step_metrics = []  # device scalars; fetched in ONE bulk get below
         profiling = bool(cfg.train.profile_dir) and epoch == 1
         with profile_trace(cfg.train.profile_dir or None, enabled=profiling):
-            for batch in loader:
-                last_batch = batch
-                batch = shard_batch(
-                    mesh, {k: jnp.asarray(v) for k, v in batch.items()}
-                )
-                key, sub = jax.random.split(key)
-                state, metrics = step_fn(state, batch, sub, use_cd)
-                if ema_fn is not None:
-                    ema_params = ema_fn(ema_params, state.params)
-                step_metrics.append(metrics)
+            if use_device_data:
+                idx_table = loader.epoch_indices()
+                for b in range(len(idx_table)):
+                    idx = jax.device_put(
+                        jnp.asarray(idx_table[b]), idx_sharding
+                    )
+                    key, sub = jax.random.split(key)
+                    state, metrics = step_fn(state, data_dev, idx, sub, use_cd)
+                    if ema_fn is not None:
+                        ema_params = ema_fn(ema_params, state.params)
+                    step_metrics.append(metrics)
+                if len(idx_table):
+                    last_batch = {
+                        k: v[idx_table[-1]] for k, v in host_data.items()
+                    }
+            else:
+                for batch in loader:
+                    last_batch = batch
+                    batch = shard_batch(
+                        mesh, {k: jnp.asarray(v) for k, v in batch.items()}
+                    )
+                    key, sub = jax.random.split(key)
+                    state, metrics = step_fn(state, batch, sub, use_cd)
+                    if ema_fn is not None:
+                        ema_params = ema_fn(ema_params, state.params)
+                    step_metrics.append(metrics)
             # Fetching metrics per step costs a tunnel round trip that
             # serializes the device queue (~2.5x the device step time
             # measured on the flagship run); one bulk device_get per epoch

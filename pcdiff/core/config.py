@@ -64,6 +64,13 @@ class TrainConfig:
     ema_decay: float = 0.0
     # jax.profiler trace dir ('' disables)
     profile_dir: str = ""
+    # device-resident dataset (auto | on | off): hold the full normalized
+    # tensor set in HBM and ship only int32 index rows per step. 'auto'
+    # enables it for single-process runs whose stacked data is under
+    # ~2 GB; streaming a fresh ~33 MB batch through the axon tunnel every
+    # step is both slower (740 vs ~400 ms/step, flagship) and leaks
+    # client RSS at one batch/step (the 125 GB OOM of 2026-08-20).
+    device_data: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,19 @@ class BatchLoader:
         start = self.process_index * per_host
         return order[start : start + per_host]
 
+    def epoch_indices(self) -> np.ndarray:
+        """This epoch's batch index table ``[n_batches, batch_size]`` —
+        the same shard of the same epoch-seeded shared permutation the
+        streaming iterator walks. Used by the device-resident data path
+        (``cli.train``) where only these int32 rows cross to the device.
+        Requires ``drop_last`` (fixed batch shapes under jit)."""
+        if not self.drop_last:
+            raise ValueError("epoch_indices requires drop_last=True")
+        order = self._index_order()
+        nb = len(order) // self.batch_size
+        return order[: nb * self.batch_size].reshape(
+            nb, self.batch_size).astype(np.int32)
+
     def _make_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(
             (self.seed + 1) * 100_003 + self.epoch * 1_009 + self.process_index

@@ -40,10 +40,13 @@ def tiny_setup(tmp_path_factory):
     return cfg, ckpt_dir
 
 
-def test_train_driver_end_to_end(tiny_setup, tmp_path):
+@pytest.mark.parametrize("device_data", ["on", "off"])
+def test_train_driver_end_to_end(tiny_setup, tmp_path, device_data):
     """cli.train.main: 2 epochs on the tiny fixture — per-step metrics land
     in metrics.jsonl (bulk-fetched per epoch), the orbax checkpoint and the
-    EMA shadow both save, and the checkpoint restores via load_params."""
+    EMA shadow both save, and the checkpoint restores via load_params.
+    Covers BOTH batch paths: device-resident data (sharded index gather)
+    and the streaming loader."""
     import json
 
     from pcdiff.core.config import apply_overrides
@@ -51,12 +54,13 @@ def test_train_driver_end_to_end(tiny_setup, tmp_path):
     from pcdiff.cli.train import build_model, main as train_main
 
     cfg, _ = tiny_setup
-    out_root = str(tmp_path / "train_runs")
+    out_root = str(tmp_path / f"train_runs_{device_data}")
     cfg = apply_overrides(cfg, [
         f"train.output_dir={out_root}", "train.epochs=2",
         "train.batch_size=8",  # must divide the 8-device test mesh
         "train.save_every=2", "train.ema_decay=0.9",
         "train.sample_every=1000", "train.start_chamfer=1",
+        f"train.device_data={device_data}",
     ])
     train_main(cfg)
     run_dir = glob.glob(os.path.join(out_root, "run_*"))[0]
