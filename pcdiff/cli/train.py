@@ -179,9 +179,22 @@ def main(cfg: Config) -> None:
         lr=cfg.train.lr, weight_decay=cfg.train.weight_decay,
         total_steps=total_steps,
     )
+    resumed_step = 0
+    restored_ema = None
     if cfg.train.continue_training and params is None:
-        state, step = restore_checkpoint(cfg.train.load_checkpoint_path, state)
-        logger.info("restored full train state at step %d", step)
+        state, resumed_step = restore_checkpoint(
+            cfg.train.load_checkpoint_path, state)
+        # a true resume continues the epoch counter (curriculum gates,
+        # save cadence) and the metrics step axis from where the run died
+        logger.info("restored full train state at step %d", resumed_step)
+        ema_dir = os.path.join(
+            os.path.dirname(os.path.normpath(cfg.train.load_checkpoint_path)),
+            "ema",
+        )
+        if cfg.train.ema_decay > 0 and os.path.isdir(ema_dir):
+            restored_ema, ema_step = restore_checkpoint(
+                ema_dir, jax.device_get(state.params))
+            logger.info("restored EMA shadow at step %d", ema_step)
 
     state = replicate(mesh, state)
     use_device_data = _device_data_enabled(cfg, dataset)
@@ -219,14 +232,19 @@ def main(cfg: Config) -> None:
         config=None, use_wandb=cfg.wandb.enabled,
         is_lead_host=jax.process_index() == 0,
     )
-    ema_params = init_ema(state.params) if cfg.train.ema_decay > 0 else None
+    if cfg.train.ema_decay > 0:
+        ema_params = (replicate(mesh, restored_ema)
+                      if restored_ema is not None else init_ema(state.params))
+    else:
+        ema_params = None
     ema_fn = (
         jax.jit(lambda e, p: ema_update(e, p, cfg.train.ema_decay))
         if ema_params is not None else None
     )
 
-    global_step = 0
-    for epoch in range(cfg.train.epochs):
+    global_step = resumed_step
+    start_epoch = resumed_step // max(len(loader), 1)
+    for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         use_cd = jnp.asarray(epoch + 1 > cfg.train.start_chamfer)
         t0 = time.time()

@@ -95,6 +95,38 @@ def test_train_driver_end_to_end(tiny_setup, tmp_path, device_data):
     )
 
 
+def test_train_driver_resume(tiny_setup, tmp_path):
+    """continue_training resumes the epoch counter, metrics step axis and
+    the EMA shadow from the restored step instead of restarting at 0."""
+    import json
+
+    from pcdiff.core.config import apply_overrides
+    from pcdiff.cli.train import main as train_main
+
+    cfg, _ = tiny_setup
+    out_root = str(tmp_path / "resume_runs")
+    base = apply_overrides(cfg, [
+        f"train.output_dir={out_root}", "train.epochs=2",
+        "train.batch_size=8", "train.save_every=2", "train.ema_decay=0.9",
+        "train.sample_every=1000", "train.start_chamfer=1",
+    ])
+    train_main(base)
+    run1 = glob.glob(os.path.join(out_root, "run_*"))[0]
+
+    out_root2 = str(tmp_path / "resume_runs2")
+    cfg2 = apply_overrides(base, [
+        f"train.output_dir={out_root2}",
+        "train.epochs=4", "train.continue_training=true",
+        "train.load_checkpoint_path=" + os.path.join(run1, "checkpoints"),
+    ])
+    train_main(cfg2)
+    run2 = glob.glob(os.path.join(out_root2, "run_*"))[0]
+    lines = [json.loads(l)
+             for l in open(os.path.join(run2, "metrics.jsonl"))]
+    # resumed at step 6 (2 epochs x 3 steps) -> logs steps 7..12 only
+    assert [l["step"] for l in lines] == list(range(7, 13))
+
+
 def test_load_params_scan_trained_checkpoint(tiny_setup, tmp_path):
     """A model.scan_blocks=true training run saves the STACKED blocks/block
     layout; load_params must detect it and restore for both scanned and
