@@ -326,6 +326,33 @@ def test_feature_extractor_padding_and_shapes(rng):
     np.testing.assert_allclose(radii, 1.0, rtol=1e-5)
 
 
+def test_feature_extractor_float64_path(rng):
+    """dtype=np.float64 (the P-FID canonical-comparison mode): casts params
+    and inputs to double, output is double, deterministic bitwise, and
+    agrees with the f32 path to fp32-noise level at matched chunking."""
+    import jax
+
+    from pcdiff.evals.feature_extractor import PointNetClassifier
+    from pcdiff.evals.pointnet2 import PointNet2ClassifierSSG
+
+    model = PointNet2ClassifierSSG(num_class=40, normal_channel=False,
+                                   width_mult=1)
+    clouds = rng.standard_normal((4, 64, 3)).astype(np.float64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(clouds[:1], jnp.float32))
+    with jax.enable_x64(True):
+        clf64 = PointNetClassifier(params=variables, batch_size=4,
+                                   width_mult=1, dtype=np.float64)
+        f64a, p64 = clf64.features_and_preds(clouds)
+        f64b, _ = clf64.features_and_preds(clouds)
+    assert f64a.dtype == np.float64 and p64.dtype == np.float64
+    np.testing.assert_array_equal(f64a, f64b)  # double is order-stable here
+
+    clf32 = PointNetClassifier(params=variables, batch_size=4, width_mult=1)
+    f32, _ = clf32.features_and_preds(clouds.astype(np.float32))
+    np.testing.assert_allclose(f64a, f32, atol=5e-2, rtol=5e-2)
+
+
 def test_feature_extractor_mesh_sharded_matches_dense(rng):
     """Mesh-sharded extraction (the reference's multi-GPU thread-pool role)
     must produce the single-device results exactly."""
