@@ -135,7 +135,8 @@ def make_gate_row(summary: dict, overrides: list, run_dir: str) -> dict:
 
 
 def main(run_dir: str, config_path: str, test_h5: str,
-         only: "set[str] | None" = None) -> None:
+         only: "set[str] | None" = None,
+         dest: "str | None" = None) -> None:
     from pcdiff.core.config import apply_overrides, load_config
     from pcdiff.cli.evaluate import main as eval_main
 
@@ -143,7 +144,8 @@ def main(run_dir: str, config_path: str, test_h5: str,
     ckpt = os.path.join(run_dir, "checkpoints")
     logs_before = set(glob.glob("evaluation_log_*.txt"))
     results = {}
-    dest = os.path.join(REPO, "docs", "trained_gates.json")
+    if dest is None:
+        dest = os.path.join(REPO, "docs", "trained_gates.json")
     if only and os.path.exists(dest):
         with open(dest) as f:
             results = json.load(f)  # merge new gates into the record
@@ -174,12 +176,15 @@ def main(run_dir: str, config_path: str, test_h5: str,
 
 
 if __name__ == "__main__":
-    # usage: trained_gates.py <run_dir> [config] [test_h5] [--only=g1,g2]
-    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    # usage: trained_gates.py <run_dir> [config] [test_h5]
+    #        [--only=g1,g2] [--dest=path.json]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only_arg = [a for a in sys.argv[1:] if a.startswith("--only=")]
+    dest_arg = [a for a in sys.argv[1:] if a.startswith("--dest=")]
     run = args[0]
     cfg_path = args[1] if len(args) > 1 else os.path.join(
         REPO, "configs", "synthetic_shapes.yaml")
     h5 = args[2] if len(args) > 2 else "/tmp/pcdiff_shapes_test.h5"
     main(run, cfg_path, h5,
-         only=set(only_arg[0].split("=", 1)[1].split(",")) if only_arg else None)
+         only=set(only_arg[0].split("=", 1)[1].split(",")) if only_arg else None,
+         dest=dest_arg[0].split("=", 1)[1] if dest_arg else None)
