@@ -102,7 +102,11 @@ class ModelConfig:
     gelu_impl: str = "erf"
     # lax.scan over the RCW blocks: math-identical compile-wall lever
     # (~6x fewer jaxpr equations per denoiser copy); unrolled checkpoints
-    # are converted at load time (cli.sample.load_params)
+    # are converted at load time (cli.sample.load_params). NOTE: the config
+    # default here is False (checkpoint-layout parity with the reference),
+    # but the headline bench runs scan_blocks=true by default
+    # (PCDIFF_BENCH_SCANBLOCKS=0 restores unrolled) — gated math-identical
+    # in docs/trained_gates.json "bf16-gi-reuse-scan"
     scan_blocks: bool = False
 
 
