@@ -136,7 +136,8 @@ def make_gate_row(summary: dict, overrides: list, run_dir: str) -> dict:
 
 def main(run_dir: str, config_path: str, test_h5: str,
          only: "set[str] | None" = None,
-         dest: "str | None" = None) -> None:
+         dest: "str | None" = None,
+         skip_done: bool = False) -> None:
     from pcdiff.core.config import apply_overrides, load_config
     from pcdiff.cli.evaluate import main as eval_main
 
@@ -146,13 +147,16 @@ def main(run_dir: str, config_path: str, test_h5: str,
     results = {}
     if dest is None:
         dest = os.path.join(REPO, "docs", "trained_gates.json")
-    if only and os.path.exists(dest):
+    if (only or skip_done) and os.path.exists(dest):
         with open(dest) as f:
             results = json.load(f)  # merge new gates into the record
     for row in GATES:
         name, overrides = row[0], row[1]
         use_ema = len(row) > 2 and row[2] == "ema"
         if only and name not in only:
+            continue
+        if skip_done and name in results:
+            print(f"=== {name} === (already in {dest}, skipped)", flush=True)
             continue
         row_ckpt = os.path.join(run_dir, "ema") if use_ema else ckpt
         cfg = apply_overrides(base, [
@@ -167,6 +171,10 @@ def main(run_dir: str, config_path: str, test_h5: str,
             results[name]["ema_params"] = True
         print(f"{name}: cd={out['overall']['cd_full']:.6f} "
               f"f1={out['overall']['f1_full']:.6f}", flush=True)
+        # write after EVERY row: a tunnel outage mid-run then only costs
+        # the in-flight row (rerun with skip_done resumes from here)
+        with open(dest, "w") as f:
+            json.dump(results, f, indent=2)
 
     for log in set(glob.glob("evaluation_log_*.txt")) - logs_before:
         os.remove(log)  # per-gate logs are scratch; the json is the record
@@ -177,7 +185,7 @@ def main(run_dir: str, config_path: str, test_h5: str,
 
 if __name__ == "__main__":
     # usage: trained_gates.py <run_dir> [config] [test_h5]
-    #        [--only=g1,g2] [--dest=path.json]
+    #        [--only=g1,g2] [--dest=path.json] [--skip-done]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only_arg = [a for a in sys.argv[1:] if a.startswith("--only=")]
     dest_arg = [a for a in sys.argv[1:] if a.startswith("--dest=")]
@@ -187,4 +195,5 @@ if __name__ == "__main__":
     h5 = args[2] if len(args) > 2 else "/tmp/pcdiff_shapes_test.h5"
     main(run, cfg_path, h5,
          only=set(only_arg[0].split("=", 1)[1].split(",")) if only_arg else None,
-         dest=dest_arg[0].split("=", 1)[1] if dest_arg else None)
+         dest=dest_arg[0].split("=", 1)[1] if dest_arg else None,
+         skip_done="--skip-done" in sys.argv)
