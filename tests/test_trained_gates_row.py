@@ -37,10 +37,15 @@ def test_make_gate_row_schema():
 
 def test_gates_include_fast_stack_unit():
     mod = _load_gates_module()
-    names = {name for name, _ in mod.GATES}
+    # rows are (name, overrides[, "ema"]) — the EMA rows restore the shadow
+    # params from run_dir/ema instead of the raw checkpoint
+    by_name = {row[0]: row[1] for row in mod.GATES}
     # the combined bf16 + guidance-interval + reuse @ 32 steps unit
     # (VERDICT r3 #2) must stay in the gate registry
-    assert "bf16-gi-reuse-32" in names
-    ov = dict(mod.GATES)["bf16-gi-reuse-32"]
+    assert "bf16-gi-reuse-32" in by_name
+    ov = by_name["bf16-gi-reuse-32"]
     assert "sample.karras_steps=32" in ov
     assert "model.compute_dtype=bfloat16" in ov
+    # the EMA gate rows (VERDICT r4 task 6) restore the shadow params
+    ema_rows = [row for row in mod.GATES if len(row) > 2 and row[2] == "ema"]
+    assert {r[0] for r in ema_rows} == {"ema-baseline", "ema-bf16-gi-reuse"}
