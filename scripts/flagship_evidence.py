@@ -5,22 +5,35 @@ renders docs/flagship_loss_curve.png (same smoothing/format as the
 reduced-scale quality_evidence curve). Quality numbers for this run live in
 docs/trained_gates_flagship.json (scripts/trained_gates.py --dest).
 
-Usage: python scripts/flagship_evidence.py <run_dir>
+The 2026-08-20 run survived two tunnel outages via checkpoint resume, so
+its metrics are split across several run dirs whose step axes overlap by
+the (lost) steps trained past each resume point; pass the run dirs in
+chronological order and later segments overwrite overlapping steps (the
+lineage that actually fed the final checkpoint).
+
+Usage: python scripts/flagship_evidence.py <run_dir> [run_dir2 ...]
 """
 
 import json
 import os
-import shutil
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(run_dir: str) -> None:
-    src = os.path.join(run_dir, "metrics.jsonl")
+def main(*run_dirs: str) -> None:
+    by_step = {}
+    for run_dir in run_dirs:
+        for line in open(os.path.join(run_dir, "metrics.jsonl")):
+            rec = json.loads(line)
+            if "loss" in rec:
+                by_step[rec["step"]] = rec
     dst = os.path.join(REPO, "docs", "flagship_train_metrics.jsonl")
-    shutil.copyfile(src, dst)
-    losses = [json.loads(l)["loss"] for l in open(src) if '"loss"' in l]
+    steps = sorted(by_step)
+    with open(dst, "w") as f:
+        for s in steps:
+            f.write(json.dumps(by_step[s]) + "\n")
+    losses = [by_step[s]["loss"] for s in steps]
     print(f"{len(losses)} steps; final-500 mean loss "
           f"{sum(losses[-500:]) / len(losses[-500:]):.5f}")
 
@@ -46,4 +59,4 @@ def main(run_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(*sys.argv[1:])
