@@ -167,20 +167,26 @@ def main() -> None:
     run_dir = newest_run_dir()
     log(f"gating run dir: {run_dir}")
 
-    gate_rows = ("baseline,bf16,reuse-32,gi-reuse,bf16-gi-reuse,"
-                 "bf16-gi-reuse-32,bf16-gi-reuse-scan,bf16-gi-reuse-gelutanh,"
-                 "ema-baseline,ema-bf16-gi-reuse")
+    def gate_stage(rows):
+        return [sys.executable, "scripts/trained_gates.py", run_dir,
+                "configs/flagship_shapes.yaml",
+                "/tmp/pcdiff_flagship_test.h5", f"--only={rows}",
+                "--dest=docs/trained_gates_flagship.json", "--skip-done"]
+
+    # priority order under outage pressure: the decision anchors first
+    # (baseline, the default fast stack, the two unmeasured levers), the
+    # throughput A/B next, breadth after
     stages = [
-        ("trace", [sys.executable, "scripts/train_bench.py",
-                   "--profile=/tmp/trace_r5"], 2400),
-        ("gates", [sys.executable, "scripts/trained_gates.py", run_dir,
-                   "configs/flagship_shapes.yaml",
-                   "/tmp/pcdiff_flagship_test.h5",
-                   f"--only={gate_rows}",
-                   "--dest=docs/trained_gates_flagship.json",
-                   "--skip-done"], 10800),
+        ("gates_core", gate_stage(
+            "baseline,bf16-gi-reuse,bf16-gi-reuse-gelutanh,"
+            "ema-baseline,ema-bf16-gi-reuse"), 5400),
         ("bench_gelutanh", [sys.executable, "bench.py"], 1800),
         ("bench_default", [sys.executable, "bench.py"], 1800),
+        ("gates_rest", gate_stage(
+            "bf16,reuse-32,gi-reuse,bf16-gi-reuse-32,bf16-gi-reuse-scan"),
+         5400),
+        ("trace", [sys.executable, "scripts/train_bench.py",
+                   "--profile=/tmp/trace_r5"], 2400),
         ("bench_segcompile", [sys.executable, "bench.py"], 1800),
     ]
     env_overrides = {
