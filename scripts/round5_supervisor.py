@@ -176,18 +176,20 @@ def main() -> None:
     # priority order under outage pressure: the decision anchors first
     # (baseline, the default fast stack, the two unmeasured levers), the
     # throughput A/B next, breadth after
+    # remaining work after gates_core + bench_gelutanh completed 02:03;
+    # re-prioritized: the A/B control run and the segcompile cold-wall
+    # measurement (VERDICT task 3 done-criterion) before breadth rows
     stages = [
         ("gates_core", gate_stage(
             "baseline,bf16-gi-reuse,bf16-gi-reuse-gelutanh,"
             "ema-baseline,ema-bf16-gi-reuse"), 5400),
-        ("bench_gelutanh", [sys.executable, "bench.py"], 1800),
         ("bench_default", [sys.executable, "bench.py"], 1800),
+        ("bench_segcompile", [sys.executable, "bench.py"], 1800),
         ("gates_rest", gate_stage(
             "bf16,reuse-32,gi-reuse,bf16-gi-reuse-32,bf16-gi-reuse-scan"),
          5400),
         ("trace", [sys.executable, "scripts/train_bench.py",
                    "--profile=/tmp/trace_r5"], 2400),
-        ("bench_segcompile", [sys.executable, "bench.py"], 1800),
     ]
     env_overrides = {
         "bench_gelutanh": {"PCDIFF_BENCH_GELU": "tanh"},
