@@ -164,9 +164,13 @@ def main():
         set_ln_mlp_fusion(lnmlp_mode)
     # GELU flavor in the transformer MLPs (erf | tanh). The tanh form rides
     # the TPU's hardware exp instead of the ~12-term erf rational on the
-    # VPU (the fc1 kernels are VPU-erf-bound, docs/performance.md); it is
-    # an A/B lever pending its trained-checkpoint quality gate.
-    gelu_impl = os.environ.get("PCDIFF_BENCH_GELU", "")
+    # VPU (the fc1 kernels are VPU-erf-bound, docs/performance.md).
+    # Default TANH since round 5: measured 12.13 vs 11.12 clouds/s (+9.1%)
+    # same-session A/B, quality-gated at flagship scale
+    # (docs/trained_gates_flagship.json "bf16-gi-reuse-gelutanh": CD
+    # 0.001814 vs the stack's 0.001807, every class within 0.4%).
+    # PCDIFF_BENCH_GELU=erf restores exact-erf torch parity.
+    gelu_impl = os.environ.get("PCDIFF_BENCH_GELU", "tanh")
     if gelu_impl:
         from pcdiff.models.attention import set_gelu_impl
 
@@ -312,6 +316,8 @@ def main():
                          flops_per_batch=flops)
     if scan_blocks:  # disclosed when on; math-identical, so the metric
         record["scan_blocks"] = True  # name and vs_baseline are unchanged
+    if gelu_impl == "tanh":  # disclosed: quality-gated approximation
+        record["gelu"] = "tanh"
     if seg_compile:  # disclosed: parity-pinned compile-wall lever
         record["segmented_compile"] = True
     print(json.dumps(record))
